@@ -1,0 +1,98 @@
+"""Sorted k-mer index over a database sample.
+
+TPU-native replacement for the reference's 4^12 pointer table with per-bucket
+linked lists (reference: Container at src/alignmentFunctions.h:4-6, build loop
+at src/IMSAME.c:232-281, llpos at src/structs.h:26-30).  Instead of 128 MB of
+host pointers we store three flat arrays sorted by (key asc, pos desc):
+
+  keys[N]  uint32  packed 2-bit k-mer key, first base most significant
+  pos[N]   int64   one past the k-mer's last base in the concatenated array
+                   (reference stores the same: src/IMSAME.c:247)
+  sid[N]   int64   read id of the k-mer's read
+
+Bucket lookup is a vectorized binary search (``np.searchsorted`` /
+``jnp.searchsorted``) for the [lo, hi) range of a key.  Within a bucket,
+entries are ordered by *decreasing* pos, which reproduces the reference's
+prepend-on-insert iteration order ("newest first", src/IMSAME.c:263-276) --
+behavioral quirk #1 in SURVEY.md section 6, load-bearing for which database
+read a query pairs with first.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..constants import FIXED_K
+from ..io.fasta import SeqInfo, valid_db_kmer_starts
+
+
+def pack_kmers(codes: np.ndarray, starts: np.ndarray, k: int = FIXED_K) -> np.ndarray:
+    """Pack k-mers starting at ``starts`` into uint32 keys (base-4, first
+    base most significant, mirroring the reference's table[c0][c1]...[c11]
+    nesting order)."""
+    keys = np.zeros(len(starts), dtype=np.uint32)
+    for i in range(k):
+        keys = (keys << np.uint32(2)) | codes[starts + i].astype(np.uint32)
+    return keys
+
+
+def rolling_keys(codes: np.ndarray, k: int = FIXED_K) -> np.ndarray:
+    """Keys for every window start 0..n-k (vectorized rolling pack)."""
+    n = len(codes)
+    if n < k:
+        return np.empty(0, np.uint32)
+    keys = np.zeros(n - k + 1, dtype=np.uint32)
+    for i in range(k):
+        keys = (keys << np.uint32(2)) | codes[i : n - k + 1 + i].astype(np.uint32)
+    return keys
+
+
+@dataclasses.dataclass
+class KmerIndex:
+    """Flat sorted k-mer index (host arrays; device copies made on demand)."""
+
+    keys: np.ndarray  # uint32 [N], ascending
+    pos: np.ndarray  # int64 [N], one-past k-mer end; descending within a key
+    sid: np.ndarray  # int64 [N]
+    db_total_len: int
+    db_n_seqs: int
+
+    @property
+    def n_entries(self) -> int:
+        return len(self.keys)
+
+    def lookup_range(self, key: int):
+        """[lo, hi) range of a single key (host path, used by the oracle)."""
+        lo = int(np.searchsorted(self.keys, key, side="left"))
+        hi = int(np.searchsorted(self.keys, key, side="right"))
+        return lo, hi
+
+    def lookup_ranges(self, query_keys: np.ndarray):
+        lo = np.searchsorted(self.keys, query_keys, side="left")
+        hi = np.searchsorted(self.keys, query_keys, side="right")
+        return lo, hi
+
+
+def build_index(db: SeqInfo, k: int = FIXED_K) -> KmerIndex:
+    """Build the sorted index over a database SeqInfo.
+
+    Insertion set and per-bucket order are bit-compatible with the reference
+    build loop: k-mers fully inside a read with no window reset inside
+    (valid_db_kmer_starts), ordered newest-first within each bucket.
+    """
+    starts = valid_db_kmer_starts(db, k)
+    keys = pack_kmers(db.codes, starts, k)
+    pos = starts + k  # one past the last base (reference: src/IMSAME.c:247)
+    # sid: read containing the k-mer == read containing its first base.
+    sid = np.searchsorted(db.start, starts, side="right") - 1
+    # Sort by key asc, pos desc.  np.lexsort is stable; keys last = primary.
+    order = np.lexsort((-pos, keys))
+    return KmerIndex(
+        keys=keys[order],
+        pos=pos[order].astype(np.int64),
+        sid=sid[order].astype(np.int64),
+        db_total_len=db.total_len,
+        db_n_seqs=db.n_seqs,
+    )

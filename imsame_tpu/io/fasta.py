@@ -1,0 +1,219 @@
+"""FASTA ingestion with the reference's exact semantics, vectorized in numpy.
+
+Reference behavior reproduced (reference: src/IMSAME.c:196-289 db load,
+:320-371 query load):
+
+  * Sequence characters are uppercased; only A/C/G/T are kept and
+    concatenated into one array.  Everything else is dropped.
+  * Per-read start offsets into the concatenated array are recorded at each
+    ``>`` header (``SeqInfo.start_pos`` semantics, src/structs.h:40-45).
+  * The k-mer *window* resets on any dropped character except newline
+    (src/IMSAME.c:229-231: ``if(c != '\\n') word_size = 0``) and at every
+    read start.  Because dropped characters do not appear in the
+    concatenated array, the index build must know where resets happened:
+    we record a ``fresh`` flag per kept base (True = a window restart
+    happens at this base).  A database k-mer starting at position ``p`` is
+    inserted iff no base in ``p+1 .. p+k-1+1``... precisely: iff
+    ``fresh[p+1 : p+k]`` contains no True and ``p+k <= read_end``.
+    The *query* scan in the reference walks the already-filtered
+    concatenated array and therefore never sees resets (only read
+    boundaries); the asymmetry is intentional and preserved.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io as _io
+from typing import List, Union
+
+import numpy as np
+
+from ..constants import FIXED_K
+
+_NL = ord("\n")
+_GT = ord(">")
+
+# Byte -> 2-bit code lookup: A/a=0, C/c=1, G/g=2, T/t=3, everything else 255.
+_CODE_LUT = np.full(256, 255, dtype=np.uint8)
+for _ch, _code in (("A", 0), ("C", 1), ("G", 2), ("T", 3)):
+    _CODE_LUT[ord(_ch)] = _code
+    _CODE_LUT[ord(_ch.lower())] = _code
+
+# Code -> ASCII base for report rendering.
+CODE_TO_CHAR = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+@dataclasses.dataclass
+class SeqInfo:
+    """Concatenated sequence store (reference: SeqInfo, src/structs.h:40-45).
+
+    codes:   uint8[total_len], 2-bit base codes (A=0 C=1 G=2 T=3).
+    start:   int64[n_seqs], offset of each read's first base.
+    fresh:   bool[total_len], True where the k-mer window restarts
+             (read start or preceded by a dropped non-newline char).
+    headers: raw header lines (without '>' or newline), for tooling only --
+             the reference reports read *indices*, never names.
+    """
+
+    codes: np.ndarray
+    start: np.ndarray
+    fresh: np.ndarray
+    headers: List[bytes]
+
+    @property
+    def n_seqs(self) -> int:
+        return len(self.start)
+
+    @property
+    def total_len(self) -> int:
+        return len(self.codes)
+
+    def read_len(self, r: int) -> int:
+        end = self.start[r + 1] if r + 1 < self.n_seqs else self.total_len
+        return int(end - self.start[r])
+
+    def read_lens(self) -> np.ndarray:
+        ends = np.append(self.start[1:], self.total_len)
+        return (ends - self.start).astype(np.int64)
+
+    def read_end(self, r: int) -> int:
+        """One-past-last index of read r in the concatenated array."""
+        return int(self.start[r + 1]) if r + 1 < self.n_seqs else self.total_len
+
+
+def parse_fasta_bytes(data: bytes) -> SeqInfo:
+    """Parse FASTA content into a SeqInfo, reproducing reference ingest."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    n = len(raw)
+    if n == 0:
+        return SeqInfo(
+            codes=np.empty(0, np.uint8),
+            start=np.empty(0, np.int64),
+            fresh=np.empty(0, bool),
+            headers=[],
+        )
+
+    nl = raw == _NL
+    # Line id per byte (0-based); a line starts after each newline.
+    line_id = np.zeros(n, dtype=np.int64)
+    np.cumsum(nl[:-1], out=line_id[1:])
+    line_start_pos = np.flatnonzero(
+        np.concatenate([np.ones(1, bool), nl[:-1]])
+    )
+    header_line = raw[line_start_pos] == _GT
+    in_header = header_line[line_id]
+
+    seq_byte = ~in_header & ~nl
+    codes = _CODE_LUT[raw]
+    valid = seq_byte & (codes != 255)
+
+    # Read id per byte: count of header lines started at or before the byte.
+    is_header_start = np.zeros(n, bool)
+    is_header_start[line_start_pos[header_line]] = True
+    read_id = np.cumsum(is_header_start) - 1  # -1 before first '>'
+
+    keep = valid & (read_id >= 0)
+    kept_pos = np.flatnonzero(keep)
+    concat_codes = codes[kept_pos]
+    concat_read = read_id[kept_pos]
+
+    n_reads = int(header_line.sum())
+    start = np.searchsorted(concat_read, np.arange(n_reads)).astype(np.int64)
+
+    # Window-reset events: dropped non-newline bytes inside a read's
+    # sequence region (reference: src/IMSAME.c:229-231).
+    reset_evt = seq_byte & (codes == 255)
+    cumreset = np.cumsum(reset_evt)
+    m = len(kept_pos)
+    fresh = np.empty(m, bool)
+    if m:
+        fresh[0] = True
+        fresh[1:] = (concat_read[1:] != concat_read[:-1]) | (
+            cumreset[kept_pos[1:]] != cumreset[kept_pos[:-1]]
+        )
+
+    headers: List[bytes] = []
+    hdr_starts = line_start_pos[header_line]
+    for p in hdr_starts:
+        e = p
+        while e < n and raw[e] != _NL:
+            e += 1
+        headers.append(bytes(raw[p + 1 : e]))
+
+    return SeqInfo(codes=concat_codes, start=start, fresh=fresh, headers=headers)
+
+
+def read_fasta(path_or_bytes: Union[str, bytes]) -> SeqInfo:
+    if isinstance(path_or_bytes, bytes):
+        return parse_fasta_bytes(path_or_bytes)
+    with open(path_or_bytes, "rb") as f:
+        return parse_fasta_bytes(f.read())
+
+
+# --- reverse complement tool (reference: src/reverseComplement.c) ---
+
+_COMP_LUT = np.arange(256, dtype=np.uint8)
+for _a, _b in (("A", "T"), ("C", "G"), ("G", "C"), ("T", "A"), ("U", "A")):
+    _COMP_LUT[ord(_a)] = ord(_b)
+    _COMP_LUT[ord(_a.lower())] = ord(_b.lower())
+
+
+def revcomp_fasta_bytes(data: bytes) -> bytes:
+    """Reverse-complement a FASTA file's reads, emitting reads in *reverse
+    file order* with each sequence on one line -- exactly the reference
+    revComp tool (src/reverseComplement.c:56-112).
+
+    Only alphabetic characters are kept from the sequence (isupper/islower
+    filter at src/reverseComplement.c:66); the complement map preserves case
+    and passes unknown letters through unchanged.
+    """
+    out = _io.BytesIO()
+    # Split into records on '>' at the stream level, like the two-pass C tool.
+    raw = np.frombuffer(data, dtype=np.uint8)
+    n = len(raw)
+    nl = raw == _NL
+    line_start = np.flatnonzero(np.concatenate([np.ones(1, bool), nl[:-1]]))
+    rec_starts = [int(p) for p in line_start if p < n and raw[p] == _GT]
+    rec_bounds = rec_starts + [n]
+    letters = ((raw >= ord("A")) & (raw <= ord("Z"))) | (
+        (raw >= ord("a")) & (raw <= ord("z"))
+    )
+    for i in range(len(rec_starts) - 1, -1, -1):
+        s, e = rec_bounds[i], rec_bounds[i + 1]
+        # Header line (through its newline, as fgets does).
+        he = s
+        while he < e and raw[he] != _NL:
+            he += 1
+        out.write(raw[s : min(he + 1, e)].tobytes())
+        if he >= e or raw[he] != _NL:
+            out.write(b"\n")  # unterminated final header
+        body = raw[he + 1 : e]
+        seq = body[letters[he + 1 : e]]
+        out.write(_COMP_LUT[seq[::-1]].tobytes())
+        out.write(b"\n")
+    return out.getvalue()
+
+
+def revcomp_fasta(in_path: str, out_path: str) -> None:
+    with open(in_path, "rb") as f:
+        data = f.read()
+    with open(out_path, "wb") as f:
+        f.write(revcomp_fasta_bytes(data))
+
+
+def valid_db_kmer_starts(info: SeqInfo, k: int = FIXED_K) -> np.ndarray:
+    """Positions p where a database k-mer [p, p+k) is inserted into the index.
+
+    A k-mer is inserted iff its k bases were appended consecutively with no
+    window reset in between: no ``fresh`` flag at positions p+1..p+k-1, and
+    p+k-1 < total_len.  Read boundaries are fresh, so in-read containment is
+    implied.  (reference build loop: src/IMSAME.c:232-281)
+    """
+    n = info.total_len
+    if n < k:
+        return np.empty(0, np.int64)
+    freshcum = np.concatenate([[0], np.cumsum(info.fresh)])
+    p = np.arange(0, n - k + 1, dtype=np.int64)
+    # count of fresh flags in [p+1, p+k-1]
+    resets_inside = freshcum[p + k] - freshcum[p + 1]
+    return p[resets_inside == 0]
