@@ -1,0 +1,38 @@
+"""Wall-clock phase timing + throughput counters.
+
+The reference reports CPU time via clock() (src/IMSAME.c:101,470); we report
+wall time per phase plus derived throughput (reads/s, GCUPS)."""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict, Iterator, Tuple
+
+
+class PhaseTimer:
+    def __init__(self) -> None:
+        self._acc: Dict[str, float] = defaultdict(float)
+
+    @contextlib.contextmanager
+    def phase(self, name: str) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self._acc[name] += time.perf_counter() - t0
+
+    def items(self) -> Iterator[Tuple[str, float]]:
+        return iter(dict(self._acc).items())
+
+    def get(self, name: str) -> float:
+        return self._acc.get(name, 0.0)
+
+    def reset(self) -> None:
+        self._acc.clear()
+
+
+def gcups(cells: int, seconds: float) -> float:
+    """Billions of DP cell updates per second."""
+    return cells / max(seconds, 1e-12) / 1e9

@@ -1,0 +1,71 @@
+"""End-to-end parity of the batched TPU engine vs the reference binary and
+the oracle: identical accepted pairs and byte-identical -out report."""
+
+import random
+from pathlib import Path
+
+import pytest
+
+from imsame_tpu.config import Config
+from imsame_tpu.io.fasta import read_fasta
+from imsame_tpu.pipeline import TpuEngine
+from util_synth import (
+    make_pair,
+    parse_reference_summary,
+    reference_binaries,
+    run_reference,
+)
+
+
+def _compare(tmp_path: Path, seed: int, cfg_kw=None, ref_extra=None, **pair_kw):
+    ref = reference_binaries()
+    if ref is None:
+        pytest.skip("reference binaries unavailable")
+    imsame, _ = ref
+    rng = random.Random(seed)
+    qp, dp = make_pair(tmp_path, rng, **pair_kw)
+    ref_out = tmp_path / "ref.align"
+    stdout = run_reference(imsame, qp, dp, ref_out, n_threads=1, extra=ref_extra or [])
+    accepted_ref, n_q, n_db = parse_reference_summary(stdout)
+
+    cfg = Config(**(cfg_kw or {}))
+    q = read_fasta(str(qp))
+    eng = TpuEngine(read_fasta(str(dp)), cfg)
+    res = eng.compare(q)
+
+    assert res.accepted == accepted_ref
+    report = eng.render_report(q, res)
+    assert report == ref_out.read_bytes()
+
+
+def test_pipeline_parity_default(tmp_path):
+    _compare(tmp_path, 21, n_query=40, n_db=40, read_len=150, sub_rate=0.05,
+             indel_rate=0.02)
+
+
+def test_pipeline_parity_heavy(tmp_path):
+    _compare(tmp_path, 22, n_query=30, n_db=30, read_len=140, sub_rate=0.22,
+             indel_rate=0.06)
+
+
+def test_pipeline_parity_small_round(tmp_path):
+    # tiny candidate windows force multi-round resolution
+    _compare(
+        tmp_path, 23,
+        cfg_kw={"cands_per_round": 4, "nw_batch": 8, "read_batch": 16},
+        n_query=25, n_db=25, read_len=150, sub_rate=0.08, indel_rate=0.03,
+    )
+
+
+def test_pipeline_parity_thresholds(tmp_path):
+    _compare(
+        tmp_path, 24,
+        cfg_kw={"min_coverage": 0.3, "min_identity": 0.65, "igap": -3, "egap": -1},
+        ref_extra=["-coverage", "0.3", "-identity", "0.65", "-igap", "3", "-egap", "1"],
+        n_query=25, n_db=25, read_len=150, sub_rate=0.12, indel_rate=0.05,
+    )
+
+
+def test_pipeline_parity_varied_lengths(tmp_path):
+    _compare(tmp_path, 25, n_query=30, n_db=30, read_len=120, sub_rate=0.06,
+             indel_rate=0.12)
