@@ -15,4 +15,28 @@ Layout:
   pipeline   single-host batched engine
 """
 
+import os as _os
+
+import jax as _jax
+
+# 64-bit types must be available: DP-cell tallies psum in int64 and the
+# accept gates divide in float64 (parity with the host gate).  All hot
+# arrays declare explicit narrow dtypes, so this does not slow kernels.
+_jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the first TPU compile of the wavefront loop
+# pays a large one-time backend warmup; caching executables across
+# processes removes it from every later run.
+_cache_dir = _os.environ.get(
+    "IMSAME_TPU_JAX_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "imsame_tpu", "jax_cache"),
+)
+if _cache_dir:
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 __version__ = "0.1.0"

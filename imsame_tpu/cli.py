@@ -1,0 +1,102 @@
+"""Command-line interface mirroring the reference's flags.
+
+Reference parser: init_args (src/IMSAME.c:520-578).  Same flags, same
+defaults, same quirks (-igap/-egap negate user input; --verbose accepted
+and ignored).  Additional engine tunables are namespaced under --tpu-*.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .config import Config
+from .io.fasta import read_fasta
+from .io.report import format_summary
+from .pipeline import TpuEngine
+from .utils.timing import gcups
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="imsame-tpu",
+        description="TPU-native all-vs-all metagenome read comparison "
+        "(capabilities of the reference IMSAME binary)",
+    )
+    p.add_argument("-query", required=True, help="query FASTA")
+    p.add_argument("-db", required=True, help="database FASTA")
+    p.add_argument("-out", default=None, help="alignment report output path")
+    p.add_argument("-n_threads", type=int, default=4,
+                   help="reference thread count to emulate for stream parity")
+    p.add_argument("-evalue", type=float, default=1e-20)
+    p.add_argument("-coverage", type=float, default=0.5)
+    p.add_argument("-identity", type=float, default=0.5)
+    p.add_argument("-igap", type=int, default=5,
+                   help="gap open penalty (negated, like the reference)")
+    p.add_argument("-egap", type=int, default=2,
+                   help="gap extend penalty (negated, like the reference)")
+    p.add_argument("--verbose", action="store_true",
+                   help="accepted for compatibility; ignored (as upstream)")
+    p.add_argument("--tpu-read-batch", type=int, default=512)
+    p.add_argument("--tpu-cands-per-round", type=int, default=64)
+    p.add_argument("--tpu-nw-batch", type=int, default=256)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    if args.evalue < 0:
+        raise SystemExit("ERR**** Min-e-value must be larger than zero ****")
+    if args.coverage <= 0:
+        raise SystemExit("ERR**** Min-coverage must be larger than zero ****")
+    if args.identity <= 0:
+        raise SystemExit("ERR**** Min-identity must be larger than zero ****")
+    return Config(
+        min_e_value=args.evalue,
+        min_coverage=args.coverage,
+        min_identity=args.identity,
+        igap=-args.igap,
+        egap=-args.egap,
+        n_threads=max(1, args.n_threads),
+        read_batch=args.tpu_read_batch,
+        cands_per_round=args.tpu_cands_per_round,
+        nw_batch=args.tpu_nw_batch,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    t0 = time.perf_counter()
+    print("[INFO] Loading database")
+    db = read_fasta(args.db)
+    print(f"[INFO] Database loaded and of length {db.total_len}.")
+    print("[INFO] Loading query.")
+    q = read_fasta(args.query)
+    print(f"[INFO] Query loaded and of length {q.total_len}.")
+
+    eng = TpuEngine(db, cfg)
+    print("[INFO] Computing alignments.")
+    t1 = time.perf_counter()
+    res = eng.compare(q)
+    t2 = time.perf_counter()
+    if args.out:
+        with open(args.out, "wb") as f:
+            f.write(eng.render_report(q, res))
+    t3 = time.perf_counter()
+
+    print(f"[INFO] Alignments computed in {t2 - t1:e} seconds.")
+    print(format_summary(res.accepted, res.n_query, res.n_db,
+                         cfg.min_e_value, cfg.min_coverage))
+    print(
+        f"[INFO] {res.n_candidates} seed candidates, {res.nw_cells} DP cells "
+        f"({gcups(res.nw_cells, t2 - t1):.3f} GCUPS), "
+        f"{res.n_query / max(t2 - t1, 1e-9):.0f} reads/s, "
+        f"total {t3 - t0:.2f}s"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,169 @@
+"""All-vs-all orchestration over N samples (replaces the reference bash
+driver bin/all_vs_all_metagenomes_IMSAME.sh).
+
+Per unordered sample pair (i < j) two comparisons run, exactly like the
+reference: query=X vs db=Y (forward, "X-Y.align") and query=X vs
+db=revcomp(Y) ("X-Y.r.align"; the reference revComp tool emits reads in
+reverse file order, which changes read indices in the report -- preserved
+by going through the same revcomp code path).  Resume is file-based like
+the reference's existence check (sh:35,45) but crash-safe: reports are
+written to a temp name and atomically renamed on completion.
+
+Multi-host task parallelism: pass (host_id, n_hosts) to stripe the pair
+list across hosts round-robin; each host only computes its own shard
+(SURVEY.md section 2a "task parallelism over sample pairs").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+from .config import Config
+from .io.fasta import SeqInfo, parse_fasta_bytes, revcomp_fasta_bytes
+from .io.report import jaccard_index
+from .pipeline import TpuEngine
+
+
+@dataclasses.dataclass
+class PairJob:
+    qname: str
+    dbname: str
+    qpath: Path
+    dbpath: Path
+    reverse: bool  # db is reverse-complemented
+
+    @property
+    def out_name(self) -> str:
+        suffix = ".r.align" if self.reverse else ".align"
+        return f"{self.qname}-{self.dbname}{suffix}"
+
+
+def list_samples(directory: str, ext: str) -> List[Tuple[str, Path]]:
+    d = Path(directory)
+    out = []
+    for p in sorted(d.glob(f"*.{ext}")):
+        out.append((p.name[: -(len(ext) + 1)], p))
+    return out
+
+
+def make_jobs(samples: List[Tuple[str, Path]]) -> List[PairJob]:
+    jobs: List[PairJob] = []
+    for i in range(len(samples)):
+        for j in range(i, len(samples)):
+            if i == j:
+                continue
+            (xn, xp), (yn, yp) = samples[i], samples[j]
+            jobs.append(PairJob(xn, yn, xp, yp, reverse=False))
+            jobs.append(PairJob(xn, yn, xp, yp, reverse=True))
+    return jobs
+
+
+class AllVsAllRunner:
+    def __init__(
+        self,
+        outdir: str,
+        cfg: Optional[Config] = None,
+        host_id: int = 0,
+        n_hosts: int = 1,
+    ):
+        self.outdir = Path(outdir)
+        self.outdir.mkdir(parents=True, exist_ok=True)
+        self.cfg = cfg or Config()
+        self.host_id = host_id
+        self.n_hosts = n_hosts
+        # Engines (and their device-resident indexes) cached per db sample.
+        self._engines: Dict[Tuple[str, bool], TpuEngine] = {}
+        self._queries: Dict[str, SeqInfo] = {}
+
+    def _load_query(self, job: PairJob) -> SeqInfo:
+        q = self._queries.get(job.qname)
+        if q is None:
+            q = parse_fasta_bytes(job.qpath.read_bytes())
+            self._queries[job.qname] = q
+        return q
+
+    def _engine_for(self, job: PairJob) -> TpuEngine:
+        key = (job.dbname, job.reverse)
+        eng = self._engines.get(key)
+        if eng is None:
+            data = job.dbpath.read_bytes()
+            if job.reverse:
+                data = revcomp_fasta_bytes(data)
+            eng = TpuEngine(parse_fasta_bytes(data), self.cfg)
+            self._engines[key] = eng
+        return eng
+
+    def run(self, samples: List[Tuple[str, Path]]) -> Dict[str, dict]:
+        """Run all pair jobs assigned to this host; returns per-pair stats.
+
+        Jobs whose output file already exists are skipped (resume)."""
+        jobs = make_jobs(samples)
+        stats: Dict[str, dict] = {}
+        for k, job in enumerate(jobs):
+            if k % self.n_hosts != self.host_id:
+                continue
+            out_path = self.outdir / job.out_name
+            stats_path = self.outdir / (job.out_name + ".json")
+            if out_path.exists():
+                if stats_path.exists():
+                    stats[job.out_name] = json.loads(stats_path.read_text())
+                continue
+            t0 = time.perf_counter()
+            q = self._load_query(job)
+            eng = self._engine_for(job)
+            res = eng.compare(q)
+            report = eng.render_report(q, res)
+            tmp = out_path.with_suffix(out_path.suffix + ".tmp")
+            tmp.write_bytes(report)
+            os.replace(tmp, out_path)  # atomic completion marker
+            entry = {
+                "query": job.qname,
+                "db": job.dbname,
+                "reverse": job.reverse,
+                "accepted": res.accepted,
+                "n_query": res.n_query,
+                "n_db": res.n_db,
+                "jaccard": jaccard_index(res.accepted, res.n_query, res.n_db),
+                "seconds": time.perf_counter() - t0,
+                "nw_cells": res.nw_cells,
+                "candidates": res.n_candidates,
+            }
+            tmp_s = stats_path.with_suffix(".json.tmp")
+            tmp_s.write_text(json.dumps(entry))
+            os.replace(tmp_s, stats_path)
+            stats[job.out_name] = entry
+        return stats
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="imsame-tpu-all-vs-all",
+        description="All-vs-all sample comparison "
+        "(replaces all_vs_all_metagenomes_IMSAME.sh)",
+    )
+    p.add_argument("directory")
+    p.add_argument("coverage", type=float)
+    p.add_argument("similarity", type=float)
+    p.add_argument("threads", type=int, help="accepted for CLI parity")
+    p.add_argument("extension")
+    p.add_argument("outpath")
+    p.add_argument("--host-id", type=int, default=0)
+    p.add_argument("--n-hosts", type=int, default=1)
+    a = p.parse_args(argv)
+    cfg = Config(min_coverage=a.coverage, min_identity=a.similarity)
+    runner = AllVsAllRunner(a.outpath, cfg, a.host_id, a.n_hosts)
+    stats = runner.run(list_samples(a.directory, a.extension))
+    for name, s in sorted(stats.items()):
+        print(f"{name}: accepted={s['accepted']} jaccard={s['jaccard']:.6e}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,199 @@
+"""Sharded pipeline stages: shard_map over the ('data', 'dict') mesh.
+
+The reference's only in-process parallelism is a static pthread split of
+query reads over a shared read-only dictionary (src/IMSAME.c:414-462).  The
+TPU-native equivalents built here:
+
+  * data axis: query read/candidate batches are sharded; the extension and
+    NW stages run per-shard with no cross-shard traffic; accepted counts
+    and DP-cell tallies merge with psum.
+  * dict axis: the sorted k-mer index is sharded by key range.  A query
+    k-mer batch (replicated along 'dict') is looked up in each shard's
+    local arrays; per-shard bucket counts merge with psum, and hit lists
+    ride an all_gather -- the collective-merge design from SURVEY.md
+    sections 2a/5.8.  Because each key lives in exactly one shard, the
+    merged counts equal the unsharded lookup.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..constants import POINT
+from ..ops.extend import extend_batch
+from ..ops.nw import nw_forward_batch
+from ..ops.traceback import traceback_batch
+
+
+# ----------------------------------------------------------------------
+# Dictionary sharding (key-range partition of the sorted index)
+# ----------------------------------------------------------------------
+
+def shard_index_arrays(
+    keys: np.ndarray, pos: np.ndarray, sid: np.ndarray, n_shards: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Partition the sorted index into n_shards contiguous key ranges of
+    equal entry count (padded).  Returns (keys_sh, pos_sh, sid_sh, count_sh)
+    with shapes [n_shards, cap]; padding uses key=uint32 max so searchsorted
+    never matches it."""
+    n = len(keys)
+    cap = -(-max(n, 1) // n_shards)
+    keys_sh = np.full((n_shards, cap), np.iinfo(np.uint32).max, np.uint32)
+    pos_sh = np.zeros((n_shards, cap), np.int32)
+    sid_sh = np.zeros((n_shards, cap), np.int32)
+    count_sh = np.zeros((n_shards,), np.int32)
+    # Split on key boundaries so one key never straddles shards.
+    bounds = [0]
+    for s in range(1, n_shards):
+        b = min(n, s * cap)
+        # move boundary left to a key change
+        while b > bounds[-1] and b < n and keys[b] == keys[b - 1]:
+            b -= 1
+        bounds.append(max(b, bounds[-1]))
+    bounds.append(n)
+    for s in range(n_shards):
+        lo, hi = bounds[s], bounds[s + 1]
+        m = hi - lo
+        if m > cap:  # giant single-key bucket; widen cap
+            raise ValueError("index shard capacity exceeded; raise n_shards")
+        keys_sh[s, :m] = keys[lo:hi]
+        pos_sh[s, :m] = pos[lo:hi]
+        sid_sh[s, :m] = sid[lo:hi]
+        count_sh[s] = m
+    return keys_sh, pos_sh, sid_sh, count_sh
+
+
+def make_dict_sharded_lookup(mesh: Mesh, cap: int, n_query_keys: int):
+    """Returns a jitted lookup: (keys_sh, q_keys) -> (counts, local_lo).
+
+    counts[k] = total bucket size of q_keys[k] across shards (psum'd);
+    the per-shard local ranges stay sharded for the gather stage."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("dict", None), P(None)),
+        out_specs=(P(None), P("dict", None)),
+        check_vma=False,
+    )
+    def lookup(keys_shard, q_keys):
+        ks = keys_shard[0]  # [cap] local sorted keys (padded with max)
+        lo = jnp.searchsorted(ks, q_keys, side="left")
+        hi = jnp.searchsorted(ks, q_keys, side="right")
+        cnt = (hi - lo).astype(jnp.int32)
+        total = jax.lax.psum(cnt, "dict")
+        return total, lo.astype(jnp.int32)[None, :]
+
+    return jax.jit(lookup)
+
+
+# ----------------------------------------------------------------------
+# Data-parallel extension + NW stages
+# ----------------------------------------------------------------------
+
+def make_sharded_extend(mesh: Mesh, window: int):
+    """Data-parallel ungapped extension: candidates sharded over 'data',
+    sequence arrays replicated."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None), P(None),
+            P("data"), P("data"), P("data"), P("data"),
+            P("data"), P("data"), P("data"),
+        ),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )
+    def step(db_codes, q_codes, pos_db, pos_q, rxs, rxe, rys, rye, raw_min):
+        res = extend_batch(
+            db_codes, q_codes, pos_db, pos_q, rxs, rxe, rys, rye, raw_min,
+            window=window,
+        )
+        return res.raw, res.passes
+
+    return jax.jit(step)
+
+
+def make_sharded_nw(mesh: Mesh, max_len: int):
+    """Data-parallel gapped alignment + traceback stats over read pairs;
+    returns per-pair stats (sharded) plus psum'd accepted totals."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("data", None), P("data", None), P("data"), P("data"),
+            P(), P(), P(None), P(None),
+        ),
+        out_specs=(P("data"), P("data"), P(None), P(None)),
+        check_vma=False,
+    )
+    def step(X, Y, xlen, ylen, igap, egap, min_cov, min_id):
+        res = nw_forward_batch(X, Y, xlen, ylen, igap, egap, max_len=max_len)
+        tb = traceback_batch(
+            res.bp, res.best_i, res.best_j, X, Y, max_len=max_len
+        )
+        # Accept gates in float64, same arithmetic as the host gate.
+        lf = tb.length.astype(jnp.float64)
+        idf = tb.identities.astype(jnp.float64)
+        cov_ok = lf / ylen.astype(jnp.float64) >= min_cov[0]
+        id_ok = idf / jnp.maximum(lf, 1.0) >= min_id[0]
+        acc = (cov_ok & id_ok).astype(jnp.int32)
+        n_acc = jax.lax.psum(jnp.sum(acc), "data")
+        cells = jax.lax.psum(
+            jnp.sum(xlen.astype(jnp.int64) * ylen.astype(jnp.int64)), "data"
+        )
+        return tb.length, tb.identities, n_acc[None], cells[None]
+
+    return jax.jit(step)
+
+
+def make_full_compare_step(mesh: Mesh, cap: int, window: int, max_len: int):
+    """One jitted device step chaining every sharded stage -- the engine's
+    "training step" equivalent for multi-chip validation:
+
+      dict axis:  sharded k-mer lookup (psum-merged bucket counts)
+      data axis:  candidate extension gating, then gapped NW + traceback
+      collectives: psum of accepted count, DP cells, and pass tallies
+
+    Shapes are static; callers pass tiny arrays for dry runs.
+    """
+    lookup = make_dict_sharded_lookup(mesh, cap, 0)
+    ext = make_sharded_extend(mesh, window)
+    nw = make_sharded_nw(mesh, max_len)
+
+    @jax.jit
+    def step(
+        keys_sh, q_keys,
+        db_codes, q_codes, pos_db, pos_q, rxs, rxe, rys, rye, raw_min,
+        X, Y, xlen, ylen, igap, egap, min_cov, min_id,
+    ):
+        counts, _ = lookup(keys_sh, q_keys)
+        raw, passes = ext(
+            db_codes, q_codes, pos_db, pos_q, rxs, rxe, rys, rye, raw_min
+        )
+        lengths, idents, n_acc, cells = nw(
+            X, Y, xlen, ylen, igap, egap, min_cov, min_id
+        )
+        n_pass = jnp.sum(passes.astype(jnp.int32))
+        return counts, raw, n_pass, lengths, idents, n_acc, cells
+
+    return step
+
+
+def replicated(mesh: Mesh, x):
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def data_sharded(mesh: Mesh, x):
+    spec = P("data", *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
