@@ -1,0 +1,99 @@
+"""Benchmark: alignment-phase throughput on the BASELINE.md workload.
+
+Workload (mirrors the measured reference baseline): 20k query reads x 20k
+database reads, 250 bp, 50% of db reads are ~4%-mutated copies of query
+reads, default thresholds.  The reference C binary sustains ~2.7k query
+reads/s on this workload (BASELINE.md); vs_baseline is reads/s divided by
+that.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Set IMSAME_BENCH_READS to scale the workload (default 20000).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_S = 2700.0
+
+
+def synth_pair(n: int, read_len: int, match_frac: float, seed: int):
+    """Synthetic query/db code batches (uint8 0..3), BASELINE workload."""
+    rng = np.random.default_rng(seed)
+    q = rng.integers(0, 4, (n, read_len), dtype=np.uint8)
+    nm = int(n * match_frac)
+    db = q[:nm].copy()
+    mask = rng.random((nm, read_len)) < 0.04
+    db[mask] = (db[mask] + rng.integers(1, 4, int(mask.sum()), dtype=np.uint8)) % 4
+    db = np.concatenate(
+        [db, rng.integers(0, 4, (n - nm, read_len), dtype=np.uint8)]
+    )
+    perm = rng.permutation(n)
+    return q, db[perm]
+
+
+def codes_to_seqinfo(reads: np.ndarray):
+    from imsame_tpu.io.fasta import SeqInfo
+
+    n, L = reads.shape
+    codes = reads.reshape(-1).copy()
+    start = (np.arange(n, dtype=np.int64) * L)
+    fresh = np.zeros(n * L, bool)
+    fresh[start] = True
+    return SeqInfo(codes=codes, start=start, fresh=fresh, headers=[b""] * n)
+
+
+def main() -> int:
+    n_reads = int(os.environ.get("IMSAME_BENCH_READS", "20000"))
+    read_len = 250
+
+    from imsame_tpu.config import Config
+    from imsame_tpu.pipeline import TpuEngine
+
+    qc, dbc = synth_pair(n_reads, read_len, 0.5, seed=12345)
+    q = codes_to_seqinfo(qc)
+    db = codes_to_seqinfo(dbc)
+
+    t0 = time.perf_counter()
+    eng = TpuEngine(db, Config())
+    t_index = time.perf_counter() - t0
+
+    # Warmup on a slice to trigger all shape compiles outside the timed run.
+    warm_n = min(512, n_reads)
+    warm_q = codes_to_seqinfo(qc[:warm_n])
+    eng.compare(warm_q)
+
+    t1 = time.perf_counter()
+    res = eng.compare(q)
+    t_align = time.perf_counter() - t1
+
+    reads_per_s = n_reads / t_align
+    gcups = res.nw_cells / t_align / 1e9
+    payload = {
+        "metric": "alignment-phase query reads/s (20k x 20k 250bp, 50% match)",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+        "detail": {
+            "n_reads": n_reads,
+            "accepted": res.accepted,
+            "jaccard": round(res.jaccard, 6),
+            "align_seconds": round(t_align, 3),
+            "index_seconds": round(t_index, 3),
+            "nw_cells": res.nw_cells,
+            "gcups": round(gcups, 3),
+            "candidates": res.n_candidates,
+            "timings": {k: round(v, 3) for k, v in res.timings.items()},
+        },
+    }
+    print(json.dumps(payload))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

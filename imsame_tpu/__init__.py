@@ -19,10 +19,11 @@ import os as _os
 
 import jax as _jax
 
-# 64-bit types must be available: DP-cell tallies psum in int64 and the
-# accept gates divide in float64 (parity with the host gate).  All hot
-# arrays declare explicit narrow dtypes, so this does not slow kernels.
-_jax.config.update("jax_enable_x64", True)
+# NOTE: jax_enable_x64 must stay OFF -- enabling it poisons Mosaic's
+# lowering of the Pallas wavefront kernel ("failed to legalize func.return")
+# even when every array in the kernel is explicitly int32.  All
+# parity-critical 64-bit arithmetic (e-value thresholds, accept gates,
+# cell tallies) therefore runs on the host in numpy float64/int64.
 
 # Persistent compilation cache: the first TPU compile of the wavefront loop
 # pays a large one-time backend warmup; caching executables across

@@ -1,0 +1,291 @@
+"""Pallas TPU kernel for the batched wavefront aligner.
+
+Same recurrence and quirk semantics as ops/nw.py (the jnp reference
+implementation, validated cell-for-cell against the scalar oracle), but the
+carried wavefront state -- three score diagonals, the mf/mc trackers, and
+the rotating char feeds -- lives in VMEM scratch for the whole sweep, so
+the 2L-1 sequential diagonal steps cost VPU cycles instead of HBM
+round-trips.
+
+Structure: the anti-diagonal index d is the *inner grid dimension*
+(grid = (pair_blocks, 2L-1)); TPU grids execute sequentially, so VMEM
+scratch carries the wavefront state from one diagonal to the next, and the
+backpointer output block for step (b, d) is just this diagonal's packed
+from-cells -- no dynamic stores and no in-kernel loop (both of which this
+toolchain's Mosaic fails to legalize).
+
+Layout: pairs on sublanes (block of 8), the row index i of each
+anti-diagonal on lanes; every "previous row" access is a lane-shift
+(pltpu.roll + edge fill) and every mc/yd advance a lane-shift with a fresh
+value entering at lane 0 (see ops/nw.py for the alignment argument).
+Mosaic cannot dynamically index the lane dimension, so the per-diagonal
+chars X[d] / Y[d] come from rotating feeds: the reversed sequences are
+loaded into VMEM and rolled one lane per step, keeping the needed char at
+the static last lane; wrapped chars only feed cells outside the valid
+region.
+
+Outputs bit-match ops/nw.py: bp[b, d, i] = xfrom*4096+yfrom (diagonal
+layout) and the reference-tie-broken best cell.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import POINT
+from .nw import NWResult, PACK
+
+NEG = -(2 ** 28)  # python int: pallas kernels cannot capture jax scalars
+
+BBLK = 8  # pairs per grid step (sublane tile)
+UNROLL = 8  # diagonals per grid step (bp block sublane tile; amortizes grid
+# overhead; 2L diagonals are computed, one past the 2L-1 real ones -- the
+# extra is all-invalid and emits -1 rows)
+
+
+def _make_nw_kernel(max_len: int):
+    L = max_len
+    ND = 2 * L - 1
+
+    def kernel(igap_ref, egap_ref, x_ref, xr_ref, yr_ref, xlen_ref, ylen_ref,
+               bp_ref, bs_ref, bi_ref, bj_ref,
+               s1_ref, s2_ref, s3_ref, mfs_ref, mfx_ref, mfy_ref,
+               mcs_ref, mcx_ref, yd_ref, xf_ref, yf_ref,
+               cbs_ref, cbi_ref, cbj_ref):
+        dbase = pl.program_id(1) * jnp.int32(UNROLL)
+        igap = igap_ref[0, 0]
+        egap = egap_ref[0, 0]
+        xlen = xlen_ref[:]  # (BBLK, 1)
+        ylen = ylen_ref[:]
+        xc = x_ref[:]  # (BBLK, L) int32 codes
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BBLK, L), 1)
+        # Explicit int32 literals: under jax_enable_x64 a python-int branch
+        # of jnp.where becomes an int64 constant, which Mosaic cannot lower.
+        NEG32 = jnp.int32(NEG)
+        P4 = jnp.int32(POINT)
+        M4 = jnp.int32(-POINT)
+        Z32 = jnp.int32(0)
+
+        def shift1(a, fill):
+            """a'[:, i] = a[:, i-1]; a'[:, 0] = fill."""
+            rolled = pltpu.roll(a, jnp.int32(1), axis=1)
+            return jnp.where(lane == 0, fill, rolled)
+
+        @pl.when(dbase == 0)
+        def _init():
+            neg = jnp.full((BBLK, L), NEG, jnp.int32)
+            zero = jnp.zeros((BBLK, L), jnp.int32)
+            s1_ref[:] = neg
+            s2_ref[:] = neg
+            s3_ref[:] = neg
+            mfs_ref[:] = neg
+            mfx_ref[:] = zero
+            mfy_ref[:] = zero
+            mcs_ref[:] = neg
+            mcx_ref[:] = zero
+            yd_ref[:] = zero
+            xf_ref[:] = xr_ref[:]  # rotating feeds: lane L-1 holds X[d]/Y[d]
+            yf_ref[:] = yr_ref[:]
+            cbs_ref[:] = jnp.full((BBLK, 1), jnp.int32(-(2**31) + 1))
+            cbi_ref[:] = jnp.zeros((BBLK, 1), jnp.int32)
+            cbj_ref[:] = jnp.zeros((BBLK, 1), jnp.int32)
+
+        y0 = yr_ref[:, L - 1 : L]  # (BBLK, 1) first query char
+        bp_rows = []
+        for u in range(UNROLL):
+            d = dbase + jnp.int32(u)
+            j_idx = d - lane
+
+            # Chars of this diagonal from the rotating feeds: lane L-1 of
+            # the reversed buffer holds X[d]/Y[d]; rolling right by one
+            # brings X[d+1]/Y[d+1] (at lane L-2) into place for next step.
+            y_new = yf_ref[:, L - 1 : L]
+            x_at_d = xf_ref[:, L - 1 : L]
+            yf_ref[:] = pltpu.roll(yf_ref[:], jnp.int32(1), axis=1)
+            xf_ref[:] = pltpu.roll(xf_ref[:], jnp.int32(1), axis=1)
+            yd = shift1(yd_ref[:], y_new)
+            yd_ref[:] = yd
+
+            valid = (j_idx >= 0) & (lane < xlen) & (j_idx < ylen)
+            inner = valid & (lane >= 1) & (j_idx >= 1)
+            s_pm = jnp.where(xc == yd, P4, M4)
+
+            s2 = s2_ref[:]
+            s3 = s3_ref[:]
+            t_im1_jm1 = shift1(s2, NEG32)
+            t_i_jm2 = s2
+            t_im1_jm2 = shift1(s3, NEG32)
+            t_im2_jm1 = shift1(t_im1_jm2, NEG32)
+
+            # mf update (before the cell), j > 1
+            mf_s = mfs_ref[:]
+            mf_x = mfx_ref[:]
+            mf_y = mfy_ref[:]
+            mf_upd = valid & (lane >= 1) & (j_idx >= 2) & (mf_s <= t_i_jm2)
+            mf_s = jnp.where(mf_upd, t_im1_jm2, mf_s)
+            mf_x = jnp.where(mf_upd, lane - jnp.int32(1), mf_x)
+            mf_y = jnp.where(mf_upd, j_idx - jnp.int32(2), mf_y)
+
+            # cell scores
+            mc_s = mcs_ref[:]
+            mc_x = mcx_ref[:]
+            score_diag = t_im1_jm1 + s_pm
+            score_left = jnp.where(
+                j_idx >= 2, mf_s + igap + (j_idx - (mf_y + 1)) * egap + s_pm, NEG32
+            )
+            score_right = jnp.where(
+                lane >= 2, mc_s + igap + (lane - (mc_x + 1)) * egap + s_pm, NEG32
+            )
+            pick_diag = (score_diag >= score_left) & (score_diag >= score_right)
+            pick_right = (~pick_diag) & (score_right > score_left)
+            cell = jnp.where(
+                pick_diag, score_diag, jnp.where(pick_right, score_right, score_left)
+            )
+            xfrom = jnp.where(
+                pick_diag, lane - jnp.int32(1), jnp.where(pick_right, mc_x, mf_x)
+            )
+            yfrom = jnp.where(
+                pick_diag,
+                j_idx - jnp.int32(1),
+                jnp.where(pick_right, j_idx - jnp.int32(1), mf_y),
+            )
+            border = valid & ((lane == 0) | (j_idx == 0))
+            cell = jnp.where(border, s_pm, cell)
+            s0 = jnp.where(valid, cell, NEG32)
+
+            # mc update (after the cell), strict >, from two rows up
+            mc_upd = inner & (lane >= 2) & (j_idx >= 2) & (t_im2_jm1 > mc_s)
+            mc_s = jnp.where(mc_upd, t_im2_jm1, mc_s)
+            mc_x = jnp.where(mc_upd, lane - jnp.int32(2), mc_x)
+
+            # mf re-init from the column-0 cell (d, 0)
+            col0_ok = (d < L) & (xlen > d)  # (BBLK, 1)
+            col0_score = jnp.where(x_at_d == y0, P4, M4)
+            upd_col = (lane == d) & col0_ok
+            mf_s = jnp.where(upd_col, col0_score, mf_s)
+            mf_x = jnp.where(upd_col, d, mf_x)
+            mf_y = jnp.where(upd_col, Z32, mf_y)
+            mfs_ref[:] = mf_s
+            mfx_ref[:] = mf_x
+            mfy_ref[:] = mf_y
+
+            # advance mc to diagonal d+1: shift down, push column d
+            row0_ok = (d < L) & (ylen > d)
+            new_col_s = jnp.where(row0_ok, s0[:, 0:1], NEG32)
+            mcs_ref[:] = shift1(mc_s, new_col_s)
+            mcx_ref[:] = shift1(mc_x, Z32)
+
+            # best cell on last row/column, reference tie-break
+            elig = inner & ((lane == xlen - 1) | (j_idx == ylen - 1))
+            packed = jnp.where(
+                elig, s0 * jnp.int32(8192) + lane, jnp.int32(-(2**31) + 1)
+            )
+            dbest = jnp.max(packed, axis=1, keepdims=True)  # (BBLK, 1)
+            # bool reductions are unsupported in Mosaic; "no eligible cell"
+            # leaves dbest at the sentinel.
+            any_elig = dbest != jnp.int32(-(2**31) + 1)
+            ds = jnp.floor_divide(dbest, jnp.int32(8192))
+            di = dbest - ds * jnp.int32(8192)
+            bs = cbs_ref[:]
+            bi = cbi_ref[:]
+            bj = cbj_ref[:]
+            take = any_elig & ((ds > bs) | ((ds == bs) & (di >= bi)))
+            bs = jnp.where(take, ds, bs)
+            bi = jnp.where(take, di, bi)
+            bj = jnp.where(take, d - di, bj)
+            cbs_ref[:] = bs
+            cbi_ref[:] = bi
+            cbj_ref[:] = bj
+            bs_ref[:] = bs
+            bi_ref[:] = bi
+            bj_ref[:] = bj
+
+            bp_rows.append(jnp.where(
+                inner, xfrom * jnp.int32(PACK) + yfrom, jnp.int32(-1)
+            ))
+            # rotate score diagonals
+            s3_ref[:] = s2
+            s2_ref[:] = s1_ref[:]
+            s1_ref[:] = s0
+
+        bp_ref[:] = jnp.stack(bp_rows, axis=1)  # (BBLK, UNROLL, L)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("max_len", "interpret"))
+def nw_forward_batch_pallas(
+    X: jax.Array,  # [B, L] uint8 codes
+    Y: jax.Array,
+    xlen: jax.Array,  # [B]
+    ylen: jax.Array,
+    igap,
+    egap,
+    *,
+    max_len: int,
+    interpret: bool = False,
+) -> NWResult:
+    B, L = X.shape
+    assert L == max_len and L % 128 == 0 and B % BBLK == 0
+    NDP = 2 * L  # padded diagonal count (multiple of UNROLL)
+    grid = (B // BBLK, NDP // UNROLL)  # d innermost: sequential wavefront
+
+    kernel = _make_nw_kernel(L)
+    scr = [pltpu.VMEM((BBLK, L), jnp.int32)] * 11 + [
+        pltpu.VMEM((BBLK, 1), jnp.int32)
+    ] * 3
+    out_shape = (
+        jax.ShapeDtypeStruct((B, NDP, L), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+    )
+    smem11 = pl.BlockSpec((1, 1), lambda b, d: (0, 0), memory_space=pltpu.SMEM)
+    vrow = lambda: pl.BlockSpec(
+        (BBLK, L), lambda b, d: (b, 0), memory_space=pltpu.VMEM
+    )
+    vone = lambda: pl.BlockSpec(
+        (BBLK, 1), lambda b, d: (b, 0), memory_space=pltpu.VMEM
+    )
+    Xi = X.astype(jnp.int32)
+    Yi = Y.astype(jnp.int32)
+    bp, bs, bi, bj = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem11, smem11, vrow(), vrow(), vrow(), vone(), vone()],
+        out_specs=(
+            pl.BlockSpec(
+                (BBLK, UNROLL, L),
+                lambda b, d: (b, d, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            vone(),
+            vone(),
+            vone(),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=scr,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(
+        jnp.asarray(igap, jnp.int32).reshape(1, 1),
+        jnp.asarray(egap, jnp.int32).reshape(1, 1),
+        Xi,
+        Xi[:, ::-1],
+        Yi[:, ::-1],
+        xlen.astype(jnp.int32).reshape(B, 1),
+        ylen.astype(jnp.int32).reshape(B, 1),
+    )
+    return NWResult(
+        bp=bp,
+        best_score=bs[:, 0],
+        best_i=bi[:, 0],
+        best_j=bj[:, 0],
+    )

@@ -132,29 +132,42 @@ def make_sharded_nw(mesh: Mesh, max_len: int):
         mesh=mesh,
         in_specs=(
             P("data", None), P("data", None), P("data"), P("data"),
-            P(), P(), P(None), P(None),
+            P(), P(), P("data"),
         ),
         out_specs=(P("data"), P("data"), P(None), P(None)),
         check_vma=False,
     )
-    def step(X, Y, xlen, ylen, igap, egap, min_cov, min_id):
+    def step(X, Y, xlen, ylen, igap, egap, min_length):
         res = nw_forward_batch(X, Y, xlen, ylen, igap, egap, max_len=max_len)
         tb = traceback_batch(
             res.bp, res.best_i, res.best_j, X, Y, max_len=max_len
         )
-        # Accept gates in float64, same arithmetic as the host gate.
-        lf = tb.length.astype(jnp.float64)
-        idf = tb.identities.astype(jnp.float64)
-        cov_ok = lf / ylen.astype(jnp.float64) >= min_cov[0]
-        id_ok = idf / jnp.maximum(lf, 1.0) >= min_id[0]
-        acc = (cov_ok & id_ok).astype(jnp.int32)
-        n_acc = jax.lax.psum(jnp.sum(acc), "data")
-        cells = jax.lax.psum(
-            jnp.sum(xlen.astype(jnp.int64) * ylen.astype(jnp.int64)), "data"
+        # The authoritative accept gates run on the host in float64
+        # (pipeline.py); here we psum an exact *coverage* tally using the
+        # host-precomputed per-pair integer threshold min_length[b] =
+        # ceil-compare of min_coverage * ylen (device int32 compare is
+        # exact), plus the DP-cell tally in kilocells (int32-safe).
+        cov_ok = (tb.length >= min_length).astype(jnp.int32)
+        n_cov = jax.lax.psum(jnp.sum(cov_ok), "data")
+        kcells = jax.lax.psum(
+            jnp.sum((xlen.astype(jnp.int32) * ylen.astype(jnp.int32)) // 1024),
+            "data",
         )
-        return tb.length, tb.identities, n_acc[None], cells[None]
+        return tb.length, tb.identities, n_cov[None], kcells[None]
 
     return jax.jit(step)
+
+
+def min_length_for_coverage(ylen, min_coverage: float):
+    """Smallest integer alignment length passing length/ylen >= min_coverage,
+    computed on the host in float64 (exact boundary semantics)."""
+    import numpy as np
+
+    yl = np.asarray(ylen, np.float64)
+    t = min_coverage * yl
+    ceil_t = np.ceil(t)
+    # length >= t; if t is an exact integer the gate is >=, else next int up.
+    return np.where(ceil_t == t, t, ceil_t).astype(np.int32)
 
 
 def make_full_compare_step(mesh: Mesh, cap: int, window: int, max_len: int):
@@ -175,17 +188,17 @@ def make_full_compare_step(mesh: Mesh, cap: int, window: int, max_len: int):
     def step(
         keys_sh, q_keys,
         db_codes, q_codes, pos_db, pos_q, rxs, rxe, rys, rye, raw_min,
-        X, Y, xlen, ylen, igap, egap, min_cov, min_id,
+        X, Y, xlen, ylen, igap, egap, min_length,
     ):
         counts, _ = lookup(keys_sh, q_keys)
         raw, passes = ext(
             db_codes, q_codes, pos_db, pos_q, rxs, rxe, rys, rye, raw_min
         )
-        lengths, idents, n_acc, cells = nw(
-            X, Y, xlen, ylen, igap, egap, min_cov, min_id
+        lengths, idents, n_cov, kcells = nw(
+            X, Y, xlen, ylen, igap, egap, min_length
         )
         n_pass = jnp.sum(passes.astype(jnp.int32))
-        return counts, raw, n_pass, lengths, idents, n_acc, cells
+        return counts, raw, n_pass, lengths, idents, n_cov, kcells
 
     return step
 

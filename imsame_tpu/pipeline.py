@@ -40,6 +40,7 @@ from .io.reconstruct import backtrack_from_chain
 from .io.report import format_record, render_alignment
 from .ops.extend import extend_batch, raw_score_threshold
 from .ops.nw import nw_forward_batch
+from .ops.nw_pallas import nw_forward_batch_pallas
 from .ops.traceback import traceback_batch
 from .utils.timing import PhaseTimer
 
@@ -110,6 +111,10 @@ class TpuEngine:
         self.db_read_lens = db.read_lens()
         self._nw_cells = 0
         self._n_cands = 0
+        use_pallas = self.cfg.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self._use_pallas = use_pallas
 
     # ------------------------------------------------------------------
     def _kmer_stream(self, q: SeqInfo):
@@ -214,7 +219,10 @@ class TpuEngine:
                 self._nw_cells += int(
                     np.sum(xl[: len(chunk)].astype(np.int64) * yl[: len(chunk)])
                 )
-                res = nw_forward_batch(
+                nw_fn = (
+                    nw_forward_batch_pallas if self._use_pallas else nw_forward_batch
+                )
+                res = nw_fn(
                     jnp.asarray(Xb),
                     jnp.asarray(Yb),
                     jnp.asarray(xl),

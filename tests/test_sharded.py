@@ -128,20 +128,20 @@ def test_sharded_nw_matches_single():
         single.bp, single.best_i, single.best_j, jnp.asarray(Xb),
         jnp.asarray(Yb), max_len=L,
     )
+    from imsame_tpu.parallel.sharded import min_length_for_coverage
+
+    min_len = min_length_for_coverage(yl, 0.5)
     step = make_sharded_nw(mesh, L)
-    lengths, idents, n_acc, cells = step(
+    lengths, idents, n_cov, kcells = step(
         jnp.asarray(Xb), jnp.asarray(Yb), jnp.asarray(xl), jnp.asarray(yl),
         jnp.asarray(-5, jnp.int32), jnp.asarray(-2, jnp.int32),
-        jnp.asarray([0.5]), jnp.asarray([0.5]),
+        jnp.asarray(min_len),
     )
     np.testing.assert_array_equal(np.asarray(tb.length), np.asarray(lengths))
     np.testing.assert_array_equal(np.asarray(tb.identities), np.asarray(idents))
-    # device-side accepted tally equals the host-side gate
-    want = int(
-        np.sum(
-            (np.asarray(tb.length) / yl >= 0.5)
-            & (np.asarray(tb.identities) / np.maximum(np.asarray(tb.length), 1) >= 0.5)
-        )
+    # device-side coverage tally equals the host-side gate
+    want = int(np.sum(np.asarray(tb.length) / yl >= 0.5))
+    assert int(np.asarray(n_cov)[0]) == want
+    assert int(np.asarray(kcells)[0]) == int(
+        np.sum((xl.astype(np.int64) * yl) // 1024)
     )
-    assert int(np.asarray(n_acc)[0]) == want
-    assert int(np.asarray(cells)[0]) == int(np.sum(xl.astype(np.int64) * yl))
