@@ -38,12 +38,15 @@ class Config:
     n_threads: int = 1
 
     # --- TPU-engine tunables (no reference equivalent) ---
-    # Read-batch size for the seed-scan / extension stages.
-    read_batch: int = 512
+    # Read-batch size for the seed-scan / extension stages.  Large batches
+    # amortize device round-trips (the engine may sit behind a
+    # high-latency tunnel to the chip).
+    read_batch: int = 8192
     # Candidates fetched per read per resolution round.
-    cands_per_round: int = 64
-    # Max NW pairs batched per kernel invocation.
-    nw_batch: int = 256
+    cands_per_round: int = 128
+    # Max NW pairs batched per kernel invocation (bp memory is
+    # ~0.5 MB/pair at the 256-bucket; 512 pairs ~= 256 MB HBM).
+    nw_batch: int = 512
     # Length buckets (reads padded up to the smallest bucket >= their len).
     length_buckets: tuple = (128, 256, 512, 1024, 2048, 3072)
     # Use the Pallas NW kernel when on TPU; fall back to pure-jnp otherwise.

@@ -1,0 +1,95 @@
+"""Device-side candidate expansion + extension gating for one round.
+
+The resolution loop's per-round work -- mapping each active read's next R
+candidate ranks to (k-mer slot, bucket offset, index entry), fetching hit
+positions and read bounds, and running the ungapped-extension gate -- is
+one fused jit step over device-resident tables.  The host ships only two
+small arrays per round (active read ids and their next candidate rank) and
+receives the pass mask and hit read-ids; everything else stays on device.
+This matters because the engine may sit behind a high-latency link to the
+chip: per-round traffic is O(A) instead of O(A * R * window).
+
+Tables (uploaded once per compare):
+  Ccum[i]   exclusive cumsum of bucket sizes per k-mer slot (stream order)
+  lo[i]     index bucket start for slot i
+  kp[i]     k-mer start position for slot i
+  C_off[r]  first global candidate rank of read r
+  N_r[r]    total candidates of read r
+  idx_pos/idx_sid   the sorted k-mer index payload
+  dxs/dxe   per-db-read extension bounds
+  qys/qye   per-query-read extension bounds
+  thr[r]    per-read integer raw-score threshold (see ops/extend.py)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import FIXED_K
+from .extend import extend_batch
+
+
+class RoundTables(NamedTuple):
+    Ccum: jax.Array  # [K+1] int32
+    lo: jax.Array  # [K] int32
+    kp: jax.Array  # [K] int32
+    C_off: jax.Array  # [n] int32
+    N_r: jax.Array  # [n] int32
+    idx_pos: jax.Array  # [N] int32
+    idx_sid: jax.Array  # [N] int32
+    dxs: jax.Array  # [n_db] int32
+    dxe: jax.Array  # [n_db] int32
+    qys: jax.Array  # [n] int32
+    qye: jax.Array  # [n] int32
+    thr: jax.Array  # [n] int32
+    db_codes: jax.Array  # [Ld] uint8
+    q_codes: jax.Array  # [Lq] uint8
+
+
+class RoundResult(NamedTuple):
+    passes: jax.Array  # [A, R] bool (already masked by validity)
+    sid: jax.Array  # [A, R] int32 database read of each candidate
+
+
+@functools.partial(jax.jit, static_argnames=("R", "window"))
+def candidate_round(
+    tables: RoundTables,
+    act: jax.Array,  # [A] int32 active read ids (padded rows repeat 0)
+    next_g: jax.Array,  # [A] int32 next candidate rank per read
+    row_valid: jax.Array,  # [A] bool False for padding rows
+    *,
+    R: int,
+    window: int,
+) -> RoundResult:
+    A = act.shape[0]
+    t32 = lambda a: a.astype(jnp.int32)
+    g = next_g[:, None] + jnp.arange(R, dtype=jnp.int32)[None, :]
+    valid = (g < tables.N_r[act][:, None]) & row_valid[:, None]
+    total_c = tables.Ccum[-1]
+    gc = jnp.minimum(g + tables.C_off[act][:, None], jnp.maximum(total_c - 1, 0))
+    t = t32(jnp.searchsorted(tables.Ccum, gc, side="right")) - 1
+    t = jnp.clip(t, 0, tables.lo.shape[0] - 1)
+    h = gc - tables.Ccum[t]
+    hit = jnp.clip(tables.lo[t] + h, 0, jnp.maximum(tables.idx_pos.shape[0] - 1, 0))
+    pos_db = tables.idx_pos[hit]
+    sid = tables.idx_sid[hit]
+    pos_q = tables.kp[t] + FIXED_K
+
+    res = extend_batch(
+        tables.db_codes,
+        tables.q_codes,
+        pos_db.reshape(-1),
+        pos_q.reshape(-1),
+        tables.dxs[sid].reshape(-1),
+        tables.dxe[sid].reshape(-1),
+        tables.qys[act][:, None].repeat(R, 1).reshape(-1),
+        tables.qye[act][:, None].repeat(R, 1).reshape(-1),
+        tables.thr[act][:, None].repeat(R, 1).reshape(-1),
+        window=window,
+    )
+    passes = res.passes.reshape(A, R) & valid
+    return RoundResult(passes=passes, sid=sid)

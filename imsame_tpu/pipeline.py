@@ -38,7 +38,8 @@ from .index.kmer import KmerIndex, build_index, rolling_keys
 from .io.fasta import CODE_TO_CHAR, SeqInfo
 from .io.reconstruct import backtrack_from_chain
 from .io.report import format_record, render_alignment
-from .ops.extend import extend_batch, raw_score_threshold
+from .ops.candidates import RoundTables, candidate_round
+from .ops.extend import raw_score_threshold
 from .ops.nw import nw_forward_batch
 from .ops.nw_pallas import nw_forward_batch_pallas
 from .ops.traceback import traceback_batch
@@ -187,7 +188,9 @@ class TpuEngine:
         q_codes_dev: jax.Array,
     ) -> List[Tuple[int, int, int, np.ndarray, int]]:
         """Gapped-align pairs; returns (length, identities, ylen, chain,
-        n_steps) per pair, grouped transparently by length bucket."""
+        n_steps) per pair, grouped transparently by length bucket.  All
+        chunks are dispatched asynchronously before any result is awaited,
+        so one round pays a single device round-trip."""
         db = self.db
         out: List = [None] * len(pairs)
         by_bucket: Dict[int, List[int]] = {}
@@ -198,6 +201,8 @@ class TpuEngine:
                 raise ValueError("Read size reached for gapped alignment.")
             by_bucket.setdefault(self._nw_bucket(max(xlen, ylen)), []).append(i)
 
+        nw_fn = nw_forward_batch_pallas if self._use_pallas else nw_forward_batch
+        pending = []  # (chunk, yl, traceback result) with results in flight
         for L, idxs in by_bucket.items():
             for c0 in range(0, len(idxs), self.cfg.nw_batch):
                 chunk = idxs[c0 : c0 + self.cfg.nw_batch]
@@ -219,35 +224,30 @@ class TpuEngine:
                 self._nw_cells += int(
                     np.sum(xl[: len(chunk)].astype(np.int64) * yl[: len(chunk)])
                 )
-                nw_fn = (
-                    nw_forward_batch_pallas if self._use_pallas else nw_forward_batch
-                )
+                Xd = jnp.asarray(Xb)
+                Yd = jnp.asarray(Yb)
                 res = nw_fn(
-                    jnp.asarray(Xb),
-                    jnp.asarray(Yb),
-                    jnp.asarray(xl),
-                    jnp.asarray(yl),
-                    self.cfg.igap,
-                    self.cfg.egap,
-                    max_len=L,
+                    Xd, Yd, jnp.asarray(xl), jnp.asarray(yl),
+                    self.cfg.igap, self.cfg.egap, max_len=L,
                 )
                 tb = traceback_batch(
-                    res.bp, res.best_i, res.best_j,
-                    jnp.asarray(Xb), jnp.asarray(Yb),
-                    max_len=L,
+                    res.bp, res.best_i, res.best_j, Xd, Yd, max_len=L
                 )
-                lengths = np.asarray(tb.length)
-                idents = np.asarray(tb.identities)
-                chains = np.asarray(tb.chain)
-                nsteps = np.asarray(tb.n_steps)
-                for b, i in enumerate(chunk):
-                    out[i] = (
-                        int(lengths[b]),
-                        int(idents[b]),
-                        int(yl[b]),
-                        chains[b],
-                        int(nsteps[b]),
-                    )
+                pending.append((chunk, yl, tb))
+
+        for chunk, yl, tb in pending:
+            lengths = np.asarray(tb.length)
+            idents = np.asarray(tb.identities)
+            chains = np.asarray(tb.chain)
+            nsteps = np.asarray(tb.n_steps)
+            for b, i in enumerate(chunk):
+                out[i] = (
+                    int(lengths[b]),
+                    int(idents[b]),
+                    int(yl[b]),
+                    chains[b],
+                    int(nsteps[b]),
+                )
         return out
 
     # ------------------------------------------------------------------
@@ -282,11 +282,31 @@ class TpuEngine:
         accepted_records: List[AcceptedRead] = []
 
         R = cfg.cands_per_round
-        idx_pos = idx.pos
-        idx_sid = idx.sid
+
+        # Device-resident round tables (one upload per compare).
+        if idx.n_entries == 0 or Ccum[-1] == 0 or n == 0:
+            tables = None
+        else:
+            i32 = lambda a: jnp.asarray(np.asarray(a, np.int32))
+            tables = RoundTables(
+                Ccum=i32(Ccum),
+                lo=i32(lo),
+                kp=i32(kp),
+                C_off=i32(C_off[:n]),
+                N_r=i32(N_r),
+                idx_pos=i32(idx.pos),
+                idx_sid=i32(idx.sid),
+                dxs=i32(self.dxs),
+                dxe=i32(self.dxe),
+                qys=i32(qys),
+                qye=i32(qye),
+                thr=jnp.asarray(thr),
+                db_codes=self.d_db_codes,
+                q_codes=q_codes_dev,
+            )
 
         with self.timer.phase("resolve"):
-            while True:
+            while tables is not None:
                 active = np.flatnonzero(~resolved & (next_g < N_r))
                 if len(active) == 0:
                     break
@@ -299,58 +319,59 @@ class TpuEngine:
                     A = A_pad
                 pad_rows = A_pad - A
                 act = np.concatenate([active, np.zeros(pad_rows, np.int64)])
-                g = next_g[act][:, None] + np.arange(R)[None, :]  # [A_pad, R]
-                valid = g < N_r[act][:, None]
-                valid[A:] = False
-                gc = np.minimum(g + C_off[act][:, None], Ccum[-1] - 1)
-                # candidate -> k-mer slot and within-bucket offset
-                t = np.searchsorted(Ccum, gc, side="right") - 1
-                h = gc - Ccum[t]
-                hit = lo[t] + h
-                pos_db = idx_pos[np.minimum(hit, max(0, len(idx_pos) - 1))]
-                sid = idx_sid[np.minimum(hit, max(0, len(idx_sid) - 1))]
-                pos_qq = kp[t] + FIXED_K
-                reads = np.repeat(act, R).reshape(A_pad, R)
+                row_valid = np.zeros(A_pad, bool)
+                row_valid[:A] = True
 
-                self._n_cands += int(valid.sum())
-                res = extend_batch(
-                    self.d_db_codes,
-                    q_codes_dev,
-                    jnp.asarray(pos_db.reshape(-1).astype(np.int32)),
-                    jnp.asarray(pos_qq.reshape(-1).astype(np.int32)),
-                    jnp.asarray(self.dxs[sid].reshape(-1).astype(np.int32)),
-                    jnp.asarray(self.dxe[sid].reshape(-1).astype(np.int32)),
-                    jnp.asarray(qys[reads].reshape(-1).astype(np.int32)),
-                    jnp.asarray(qye[reads].reshape(-1).astype(np.int32)),
-                    jnp.asarray(thr[reads].reshape(-1)),
+                self._n_cands += int(
+                    np.minimum(
+                        np.maximum(N_r[act[:A]] - next_g[act[:A]], 0), R
+                    ).sum()
+                )
+                rr = candidate_round(
+                    tables,
+                    jnp.asarray(act.astype(np.int32)),
+                    jnp.asarray(next_g[act].astype(np.int32)),
+                    jnp.asarray(row_valid),
+                    R=R,
                     window=window,
                 )
-                passes = np.asarray(res.passes).reshape(A_pad, R) & valid
+                sid = np.asarray(rr.sid)
+                passes = np.asarray(rr.passes)
 
                 # Walk passing candidates in stream order per read, batching
-                # unknown pairs across reads.
+                # unknown pairs across reads.  The first-passing-slot search
+                # is vectorized; Python only touches rows that actually have
+                # a passing candidate (and the rare rejected-pair reruns).
                 cursor = np.zeros(A, np.int64)  # next window slot to inspect
                 undecided = np.ones(A, bool)
+                slots = np.arange(R)[None, :]
+                pA = passes[:A]
                 while True:
                     nw_pairs: List[Tuple[int, int]] = []
                     nw_owner: List[int] = []
+                    mask = pA & (slots >= cursor[:, None])
+                    mask[~undecided] = False
+                    has = mask.any(axis=1)
+                    first = mask.argmax(axis=1)
+                    undecided &= has
                     for a in np.flatnonzero(undecided):
                         r = int(active[a])
                         rej = rejected.get(r)
-                        while cursor[a] < R:
-                            m = int(cursor[a])
-                            if not passes[a, m]:
-                                cursor[a] += 1
-                                continue
-                            s = int(sid[a, m])
-                            if rej is not None and s in rej:
-                                cursor[a] += 1
-                                continue
-                            nw_pairs.append((r, s))
-                            nw_owner.append(a)
-                            break
+                        m = int(first[a])
+                        chosen = -1
+                        while m < R:
+                            if pA[a, m]:
+                                s = int(sid[a, m])
+                                if rej is None or s not in rej:
+                                    chosen = m
+                                    break
+                            m += 1
+                        if chosen < 0:
+                            undecided[a] = False
                         else:
-                            undecided[a] = False  # window exhausted
+                            cursor[a] = chosen
+                            nw_pairs.append((r, int(sid[a, chosen])))
+                            nw_owner.append(a)
                     if not nw_pairs:
                         break
                     results = self._run_nw_batch(q, nw_pairs, q_codes_dev)
