@@ -75,6 +75,31 @@ class KmerIndex:
         return lo, hi
 
 
+def save_index(idx: KmerIndex, path: str) -> None:
+    """Persist the sorted index (SURVEY.md 5.4: the reference rebuilds its
+    dictionary from FASTA every run; device-friendly flat arrays serialize
+    trivially, making per-sample index reuse an orchestrator-level win)."""
+    np.savez_compressed(
+        path,
+        keys=idx.keys,
+        pos=idx.pos,
+        sid=idx.sid,
+        db_total_len=np.int64(idx.db_total_len),
+        db_n_seqs=np.int64(idx.db_n_seqs),
+    )
+
+
+def load_index(path: str) -> KmerIndex:
+    with np.load(path) as z:
+        return KmerIndex(
+            keys=z["keys"],
+            pos=z["pos"],
+            sid=z["sid"],
+            db_total_len=int(z["db_total_len"]),
+            db_n_seqs=int(z["db_n_seqs"]),
+        )
+
+
 def build_index(db: SeqInfo, k: int = FIXED_K) -> KmerIndex:
     """Build the sorted index over a database SeqInfo.
 

@@ -35,6 +35,7 @@ from .extend import extend_batch
 
 class RoundTables(NamedTuple):
     Ccum: jax.Array  # [K+1] int32
+    t_of_gc: jax.Array  # [total_c] int32: k-mer slot owning candidate rank
     lo: jax.Array  # [K] int32
     kp: jax.Array  # [K] int32
     C_off: jax.Array  # [n] int32
@@ -69,10 +70,11 @@ def candidate_round(
     t32 = lambda a: a.astype(jnp.int32)
     g = next_g[:, None] + jnp.arange(R, dtype=jnp.int32)[None, :]
     valid = (g < tables.N_r[act][:, None]) & row_valid[:, None]
-    total_c = tables.Ccum[-1]
+    total_c = tables.t_of_gc.shape[0]
     gc = jnp.minimum(g + tables.C_off[act][:, None], jnp.maximum(total_c - 1, 0))
-    t = t32(jnp.searchsorted(tables.Ccum, gc, side="right")) - 1
-    t = jnp.clip(t, 0, tables.lo.shape[0] - 1)
+    # Rank -> k-mer slot via the precomputed repeat table (a single gather;
+    # a binary search here costs ~20 gathers per candidate).
+    t = tables.t_of_gc[gc]
     h = gc - tables.Ccum[t]
     hit = jnp.clip(tables.lo[t] + h, 0, jnp.maximum(tables.idx_pos.shape[0] - 1, 0))
     pos_db = tables.idx_pos[hit]

@@ -156,12 +156,12 @@ class TpuEngine:
         np.cumsum(n_kmers, out=K_off[1:])
         total_kmers = int(K_off[-1])
 
-        # k-mer start positions, contiguous per read
-        kp = np.empty(total_kmers, np.int64)
-        for r in np.flatnonzero(n_kmers > 0):
-            kp[K_off[r] : K_off[r + 1]] = np.arange(
-                qlo[r], qlo[r] + n_kmers[r]
-            )
+        # k-mer start positions, contiguous per read (vectorized repeat).
+        kp = (
+            np.repeat(qlo, n_kmers)
+            + np.arange(total_kmers, dtype=np.int64)
+            - np.repeat(K_off[:-1], n_kmers)
+        )
 
         # keys + bucket ranges in one vectorized pass
         all_keys = rolling_keys(q.codes)  # key at every concat position
@@ -288,8 +288,13 @@ class TpuEngine:
             tables = None
         else:
             i32 = lambda a: jnp.asarray(np.asarray(a, np.int32))
+            cnt_k = (Ccum[1:] - Ccum[:-1]).astype(np.int64)
+            t_of_gc = np.repeat(
+                np.arange(len(cnt_k), dtype=np.int32), cnt_k
+            )
             tables = RoundTables(
                 Ccum=i32(Ccum),
+                t_of_gc=i32(t_of_gc),
                 lo=i32(lo),
                 kp=i32(kp),
                 C_off=i32(C_off[:n]),
@@ -327,16 +332,17 @@ class TpuEngine:
                         np.maximum(N_r[act[:A]] - next_g[act[:A]], 0), R
                     ).sum()
                 )
-                rr = candidate_round(
-                    tables,
-                    jnp.asarray(act.astype(np.int32)),
-                    jnp.asarray(next_g[act].astype(np.int32)),
-                    jnp.asarray(row_valid),
-                    R=R,
-                    window=window,
-                )
-                sid = np.asarray(rr.sid)
-                passes = np.asarray(rr.passes)
+                with self.timer.phase("resolve.extend"):
+                    rr = candidate_round(
+                        tables,
+                        jnp.asarray(act.astype(np.int32)),
+                        jnp.asarray(next_g[act].astype(np.int32)),
+                        jnp.asarray(row_valid),
+                        R=R,
+                        window=window,
+                    )
+                    sid = np.asarray(rr.sid)
+                    passes = np.asarray(rr.passes)
 
                 # Walk passing candidates in stream order per read, batching
                 # unknown pairs across reads.  The first-passing-slot search
@@ -374,7 +380,8 @@ class TpuEngine:
                             nw_owner.append(a)
                     if not nw_pairs:
                         break
-                    results = self._run_nw_batch(q, nw_pairs, q_codes_dev)
+                    with self.timer.phase("resolve.nw"):
+                        results = self._run_nw_batch(q, nw_pairs, q_codes_dev)
                     for (r, s), a, (length, idents, ylen, chain, nst) in zip(
                         nw_pairs, nw_owner, results
                     ):

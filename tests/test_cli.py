@@ -1,0 +1,49 @@
+"""CLI end-to-end: flags mirror the reference, output file byte-parity."""
+
+import random
+import sys
+
+import pytest
+
+from imsame_tpu import cli
+from util_synth import make_pair, reference_binaries, run_reference
+
+
+def test_cli_roundtrip(tmp_path, capsys):
+    ref = reference_binaries()
+    if ref is None:
+        pytest.skip("reference binaries unavailable")
+    imsame, _ = ref
+    rng = random.Random(5)
+    qp, dp = make_pair(tmp_path, rng, n_query=15, n_db=15, read_len=130,
+                       sub_rate=0.06, indel_rate=0.02)
+    ref_out = tmp_path / "ref.align"
+    run_reference(imsame, qp, dp, ref_out, n_threads=1)
+
+    out = tmp_path / "ours.align"
+    rc = cli.main([
+        "-query", str(qp), "-db", str(dp), "-out", str(out),
+        "-n_threads", "1",
+    ])
+    assert rc == 0
+    assert out.read_bytes() == ref_out.read_bytes()
+    cap = capsys.readouterr().out
+    assert "Jaccard-index" in cap
+
+
+def test_cli_flag_negation():
+    args = cli.build_parser().parse_args(
+        ["-query", "q", "-db", "d", "-igap", "3", "-egap", "1"]
+    )
+    cfg = cli.config_from_args(args)
+    assert cfg.igap == -3 and cfg.egap == -1
+
+
+def test_cli_rejects_bad_thresholds():
+    p = cli.build_parser()
+    with pytest.raises(SystemExit):
+        cli.config_from_args(p.parse_args(
+            ["-query", "q", "-db", "d", "-coverage", "0"]))
+    with pytest.raises(SystemExit):
+        cli.config_from_args(p.parse_args(
+            ["-query", "q", "-db", "d", "-evalue", "-1"]))

@@ -67,3 +67,22 @@ def test_repeated_kmer_order_is_pos_descending():
     lo, hi = idx.lookup_range(key)
     pos = idx.pos[lo:hi]
     assert np.all(np.diff(pos) < 0)
+
+
+def test_index_save_load(tmp_path):
+    import random
+    from imsame_tpu.index.kmer import load_index, save_index
+
+    rng = random.Random(5)
+    reads = ["".join(rng.choice("ACGT") for _ in range(40)) for _ in range(10)]
+    data = "".join(f">r{i}\n{r}\n" for i, r in enumerate(reads)).encode()
+    si = parse_fasta_bytes(data)
+    idx = build_index(si)
+    p = tmp_path / "idx.npz"
+    save_index(idx, str(p))
+    idx2 = load_index(str(p))
+    np.testing.assert_array_equal(idx.keys, idx2.keys)
+    np.testing.assert_array_equal(idx.pos, idx2.pos)
+    np.testing.assert_array_equal(idx.sid, idx2.sid)
+    assert idx.db_total_len == idx2.db_total_len
+    assert idx.db_n_seqs == idx2.db_n_seqs

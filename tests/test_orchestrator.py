@@ -1,0 +1,113 @@
+"""All-vs-all orchestrator vs the reference driver semantics: same pair
+jobs (forward + revcomp), byte-identical per-pair reports, resume
+behavior, and host striping."""
+
+import random
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from imsame_tpu.config import Config
+from imsame_tpu.orchestrator import AllVsAllRunner, list_samples, make_jobs
+from util_synth import make_pair, random_read, reference_binaries, write_fasta
+
+
+def _mk_samples(tmp_path, rng, n_samples=3, n_reads=12, read_len=120):
+    d = tmp_path / "samples"
+    d.mkdir()
+    base = [random_read(rng, read_len) for _ in range(n_reads)]
+    for s in range(n_samples):
+        reads = []
+        for i, r in enumerate(base):
+            if (i + s) % 2 == 0:
+                # mutated shared read
+                rl = list(r)
+                for _ in range(3):
+                    p = rng.randrange(len(rl))
+                    rl[p] = rng.choice("ACGT")
+                reads.append("".join(rl))
+            else:
+                reads.append(random_read(rng, read_len))
+        write_fasta(d / f"s{s}.fasta", reads, prefix=f"s{s}r")
+    return d
+
+
+def test_job_list_matches_reference_driver(tmp_path):
+    rng = random.Random(0)
+    d = _mk_samples(tmp_path, rng)
+    samples = list_samples(str(d), "fasta")
+    jobs = make_jobs(samples)
+    names = [j.out_name for j in jobs]
+    # reference driver: for i<j, X-Y.align and X-Y.r.align (sh:35-48)
+    assert names == [
+        "s0-s1.align", "s0-s1.r.align",
+        "s0-s2.align", "s0-s2.r.align",
+        "s1-s2.align", "s1-s2.r.align",
+    ]
+
+
+def test_all_vs_all_matches_reference(tmp_path):
+    ref = reference_binaries()
+    if ref is None:
+        pytest.skip("reference binaries unavailable")
+    imsame, revcomp = ref
+    rng = random.Random(1)
+    d = _mk_samples(tmp_path, rng)
+    samples = list_samples(str(d), "fasta")
+
+    out = tmp_path / "ours"
+    runner = AllVsAllRunner(str(out), Config())
+    stats = runner.run(samples)
+    assert len(stats) == 6
+
+    # reference run per pair
+    refdir = tmp_path / "ref"
+    refdir.mkdir()
+    for i in range(len(samples)):
+        for j in range(i + 1, len(samples)):
+            (xn, xp), (yn, yp) = samples[i], samples[j]
+            fwd = refdir / f"{xn}-{yn}.align"
+            subprocess.run(
+                [str(imsame), "-query", str(xp), "-db", str(yp),
+                 "-n_threads", "1", "-out", str(fwd)],
+                check=True, capture_output=True)
+            rc = tmp_path / f"{yn}.r.fasta"
+            subprocess.run([str(revcomp), str(yp), str(rc)], check=True)
+            rev = refdir / f"{xn}-{yn}.r.align"
+            subprocess.run(
+                [str(imsame), "-query", str(xp), "-db", str(rc),
+                 "-n_threads", "1", "-out", str(rev)],
+                check=True, capture_output=True)
+
+    for f in sorted(refdir.glob("*.align")):
+        ours = out / f.name
+        assert ours.exists(), f.name
+        assert ours.read_bytes() == f.read_bytes(), f.name
+
+
+def test_resume_skips_existing(tmp_path):
+    rng = random.Random(2)
+    d = _mk_samples(tmp_path, rng, n_samples=2)
+    samples = list_samples(str(d), "fasta")
+    out = tmp_path / "o"
+    runner = AllVsAllRunner(str(out), Config())
+    s1 = runner.run(samples)
+    # poison one output; resume must keep it untouched
+    marker = out / "s0-s1.align"
+    marker.write_bytes(b"SENTINEL")
+    runner2 = AllVsAllRunner(str(out), Config())
+    runner2.run(samples)
+    assert marker.read_bytes() == b"SENTINEL"
+
+
+def test_host_striping_partitions_jobs(tmp_path):
+    rng = random.Random(3)
+    d = _mk_samples(tmp_path, rng, n_samples=3)
+    samples = list_samples(str(d), "fasta")
+    out0 = tmp_path / "h0"
+    out1 = tmp_path / "h1"
+    s0 = AllVsAllRunner(str(out0), Config(), host_id=0, n_hosts=2).run(samples)
+    s1 = AllVsAllRunner(str(out1), Config(), host_id=1, n_hosts=2).run(samples)
+    assert set(s0) | set(s1) == {j.out_name for j in make_jobs(samples)}
+    assert not (set(s0) & set(s1))
