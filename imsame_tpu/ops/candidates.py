@@ -52,8 +52,9 @@ class RoundTables(NamedTuple):
 
 
 class RoundResult(NamedTuple):
-    passes: jax.Array  # [A, R] bool (already masked by validity)
-    sid: jax.Array  # [A, R] int32 database read of each candidate
+    pass_bits: jax.Array  # [A, R//32] int32 packed pass mask (bit k of word
+    # w = candidate slot w*32+k); keeps the per-round device->host transfer
+    # tiny -- the host recomputes hit ids from its own copy of the tables.
 
 
 @functools.partial(jax.jit, static_argnames=("R", "window"))
@@ -94,4 +95,13 @@ def candidate_round(
         window=window,
     )
     passes = res.passes.reshape(A, R) & valid
-    return RoundResult(passes=passes, sid=sid)
+    # pack 32 slots per int32 word (pad R up to a word boundary)
+    Rp = ((R + 31) // 32) * 32
+    if Rp != R:
+        passes = jnp.concatenate(
+            [passes, jnp.zeros((A, Rp - R), bool)], axis=1
+        )
+    bits = passes.reshape(A, Rp // 32, 32).astype(jnp.int32)
+    weights = (jnp.int32(1) << jnp.arange(32, dtype=jnp.int32))[None, None, :]
+    pass_bits = jnp.sum(bits * weights, axis=2).astype(jnp.int32)
+    return RoundResult(pass_bits=pass_bits)

@@ -53,8 +53,12 @@ class AcceptedRead:
     length: int
     identities: int
     ylen: int
-    chain: np.ndarray
     n_steps: int
+    # Traceback chain: left on device until a report is rendered (the
+    # engine may sit behind a slow link; stats-only runs never fetch it).
+    chain_dev: object = None  # jax.Array [B, 2L] holding the whole chunk
+    chain_row: int = -1
+    chain: Optional[np.ndarray] = None  # filled by _materialize_chains
 
 
 @dataclasses.dataclass
@@ -238,14 +242,14 @@ class TpuEngine:
         for chunk, yl, tb in pending:
             lengths = np.asarray(tb.length)
             idents = np.asarray(tb.identities)
-            chains = np.asarray(tb.chain)
             nsteps = np.asarray(tb.n_steps)
             for b, i in enumerate(chunk):
                 out[i] = (
                     int(lengths[b]),
                     int(idents[b]),
                     int(yl[b]),
-                    chains[b],
+                    tb.chain,  # device buffer, fetched lazily
+                    b,
                     int(nsteps[b]),
                 )
         return out
@@ -341,8 +345,20 @@ class TpuEngine:
                         R=R,
                         window=window,
                     )
-                    sid = np.asarray(rr.sid)
-                    passes = np.asarray(rr.passes)
+                    pb = np.asarray(rr.pass_bits).astype("<u4")
+                    passes = (
+                        np.unpackbits(
+                            pb.view(np.uint8).reshape(A_pad, -1),
+                            axis=1,
+                            bitorder="little",
+                        )[:, :R]
+                        .astype(bool)
+                    )
+
+                def sid_of(read: int, slot: int) -> int:
+                    gc = int(next_g[read]) + slot + int(C_off[read])
+                    t = int(t_of_gc[gc])
+                    return int(idx.sid[lo[t] + gc - Ccum[t]])
 
                 # Walk passing candidates in stream order per read, batching
                 # unknown pairs across reads.  The first-passing-slot search
@@ -367,7 +383,7 @@ class TpuEngine:
                         chosen = -1
                         while m < R:
                             if pA[a, m]:
-                                s = int(sid[a, m])
+                                s = sid_of(r, m)
                                 if rej is None or s not in rej:
                                     chosen = m
                                     break
@@ -376,13 +392,13 @@ class TpuEngine:
                             undecided[a] = False
                         else:
                             cursor[a] = chosen
-                            nw_pairs.append((r, int(sid[a, chosen])))
+                            nw_pairs.append((r, sid_of(r, chosen)))
                             nw_owner.append(a)
                     if not nw_pairs:
                         break
                     with self.timer.phase("resolve.nw"):
                         results = self._run_nw_batch(q, nw_pairs, q_codes_dev)
-                    for (r, s), a, (length, idents, ylen, chain, nst) in zip(
+                    for (r, s), a, (length, idents, ylen, cdev, crow, nst) in zip(
                         nw_pairs, nw_owner, results
                     ):
                         if (
@@ -392,7 +408,10 @@ class TpuEngine:
                             resolved[r] = True
                             undecided[a] = False
                             accepted_records.append(
-                                AcceptedRead(r, s, length, idents, ylen, chain, nst)
+                                AcceptedRead(
+                                    r, s, length, idents, ylen, nst,
+                                    chain_dev=cdev, chain_row=crow,
+                                )
                             )
                         else:
                             rejected.setdefault(r, set()).add(s)
@@ -414,9 +433,28 @@ class TpuEngine:
         )
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _materialize_chains(records: List[AcceptedRead]) -> None:
+        """Fetch traceback chains from device, batched per chunk buffer
+        (one gather + one transfer per NW chunk that produced accepts)."""
+        by_buf: Dict[int, Tuple[object, List[AcceptedRead]]] = {}
+        for rec in records:
+            if rec.chain is not None or rec.chain_dev is None:
+                continue
+            key = id(rec.chain_dev)
+            by_buf.setdefault(key, (rec.chain_dev, []))[1].append(rec)
+        for buf, recs in by_buf.values():
+            rows = jnp.asarray(
+                np.array([r.chain_row for r in recs], np.int32)
+            )
+            fetched = np.asarray(buf[rows])
+            for k, rec in enumerate(recs):
+                rec.chain = fetched[k]
+
     def render_report(self, q: SeqInfo, result: PipelineResult) -> bytes:
         """Byte-identical -out file content (records in read order, matching
         the reference at n_threads=1)."""
+        self._materialize_chains(result.records)
         db = self.db
         out = bytearray()
         for a in result.records:
