@@ -345,7 +345,11 @@ class TpuEngine:
                         R=R,
                         window=window,
                     )
-                    pb = np.asarray(rr.pass_bits).astype("<u4")
+                    # ascontiguousarray: device arrays can come back with
+                    # padded strides (TPU layouts); .view() needs contiguity.
+                    pb = np.ascontiguousarray(
+                        np.asarray(rr.pass_bits), dtype="<u4"
+                    )
                     passes = (
                         np.unpackbits(
                             pb.view(np.uint8).reshape(A_pad, -1),
