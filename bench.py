@@ -63,10 +63,12 @@ def main() -> int:
     eng = TpuEngine(db, Config())
     t_index = time.perf_counter() - t0
 
-    # Warmup on a slice to trigger all shape compiles outside the timed run.
-    warm_n = min(512, n_reads)
-    warm_q = codes_to_seqinfo(qc[:warm_n])
-    eng.compare(warm_q)
+    # Warmup with the full query: compiled shapes are keyed on the (pow2-
+    # quantized) table sizes, so only a same-size compare triggers every
+    # compile outside the timed run.  In production (all-vs-all over many
+    # sample pairs) compiles amortize the same way.
+    eng.compare(q)
+    eng.timer.reset()
 
     t1 = time.perf_counter()
     res = eng.compare(q)

@@ -38,9 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gap extend penalty (negated, like the reference)")
     p.add_argument("--verbose", action="store_true",
                    help="accepted for compatibility; ignored (as upstream)")
-    p.add_argument("--tpu-read-batch", type=int, default=512)
-    p.add_argument("--tpu-cands-per-round", type=int, default=64)
-    p.add_argument("--tpu-nw-batch", type=int, default=256)
+    p.add_argument("--tpu-cands-schedule", type=str,
+                   default="8x8192,768x1024,8192x128",
+                   help="per-round RxA extension shapes (window x read block)")
+    p.add_argument("--tpu-nw-batch", type=int, default=2048)
     return p
 
 
@@ -58,8 +59,10 @@ def config_from_args(args: argparse.Namespace) -> Config:
         igap=-args.igap,
         egap=-args.egap,
         n_threads=max(1, args.n_threads),
-        read_batch=args.tpu_read_batch,
-        cands_per_round=args.tpu_cands_per_round,
+        cands_schedule=tuple(
+            tuple(int(v) for v in x.split("x"))
+            for x in args.tpu_cands_schedule.split(",") if x
+        ),
         nw_batch=args.tpu_nw_batch,
     )
 

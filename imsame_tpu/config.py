@@ -38,15 +38,19 @@ class Config:
     n_threads: int = 1
 
     # --- TPU-engine tunables (no reference equivalent) ---
-    # Read-batch size for the seed-scan / extension stages.  Large batches
-    # amortize device round-trips (the engine may sit behind a
-    # high-latency tunnel to the chip).
-    read_batch: int = 8192
-    # Candidates fetched per read per resolution round.
-    cands_per_round: int = 128
-    # Max NW pairs batched per kernel invocation (bp memory is
-    # ~0.5 MB/pair at the 256-bucket; 512 pairs ~= 256 MB HBM).
-    nw_batch: int = 512
+    # Per-round (candidate window R, read-row block A) shapes for the
+    # extension gate.  Rounds use schedule[min(round, len-1)].  Most reads
+    # resolve inside their first few candidates, so round 0 is a wide read
+    # block with a small window; later rounds chase the tail with
+    # geometrically larger windows over fewer reads.  Each (R, A) pair is
+    # exactly one compiled kernel shape -- compilation on a tunneled TPU
+    # costs tens of seconds, so shapes must be few and FIXED (read blocks
+    # are padded up to A, never shrunk to fit).
+    cands_schedule: tuple = ((8, 8192), (768, 1024), (8192, 128))
+    # NW pairs per kernel invocation -- also one fixed compiled shape
+    # (chunks pad up to exactly this; bp memory is ~0.5 MB/pair at the
+    # 256-bucket, so 2048 pairs ~= 1 GB HBM).
+    nw_batch: int = 2048
     # Length buckets (reads padded up to the smallest bucket >= their len).
     length_buckets: tuple = (128, 256, 512, 1024, 2048, 3072)
     # Use the Pallas NW kernel when on TPU; fall back to pure-jnp otherwise.

@@ -51,13 +51,27 @@ def rolling_keys(codes: np.ndarray, k: int = FIXED_K) -> np.ndarray:
 
 @dataclasses.dataclass
 class KmerIndex:
-    """Flat sorted k-mer index (host arrays; device copies made on demand)."""
+    """Flat sorted k-mer index (host arrays; device copies made on demand).
+
+    ``bucket_start`` is the direct-addressed replacement for the
+    reference's 4^12 pointer table (src/alignmentFunctions.h:4-6): entry
+    [key] is the first index of that key's bucket, [key+1] one past it.
+    Lookup is two O(1) gathers instead of a binary search per k-mer.
+    """
 
     keys: np.ndarray  # uint32 [N], ascending
     pos: np.ndarray  # int64 [N], one-past k-mer end; descending within a key
     sid: np.ndarray  # int64 [N]
     db_total_len: int
     db_n_seqs: int
+    bucket_start: np.ndarray = None  # int64 [4^k + 1]
+
+    def __post_init__(self):
+        if self.bucket_start is None:
+            n_keys = 4**FIXED_K
+            counts = np.bincount(self.keys, minlength=n_keys)
+            self.bucket_start = np.zeros(n_keys + 1, np.int64)
+            np.cumsum(counts, out=self.bucket_start[1:])
 
     @property
     def n_entries(self) -> int:
@@ -65,13 +79,11 @@ class KmerIndex:
 
     def lookup_range(self, key: int):
         """[lo, hi) range of a single key (host path, used by the oracle)."""
-        lo = int(np.searchsorted(self.keys, key, side="left"))
-        hi = int(np.searchsorted(self.keys, key, side="right"))
-        return lo, hi
+        return int(self.bucket_start[key]), int(self.bucket_start[key + 1])
 
     def lookup_ranges(self, query_keys: np.ndarray):
-        lo = np.searchsorted(self.keys, query_keys, side="left")
-        hi = np.searchsorted(self.keys, query_keys, side="right")
+        lo = self.bucket_start[query_keys]
+        hi = self.bucket_start[query_keys.astype(np.int64) + 1]
         return lo, hi
 
 
@@ -108,12 +120,18 @@ def build_index(db: SeqInfo, k: int = FIXED_K) -> KmerIndex:
     (valid_db_kmer_starts), ordered newest-first within each bucket.
     """
     starts = valid_db_kmer_starts(db, k)
-    keys = pack_kmers(db.codes, starts, k)
+    keys = rolling_keys(db.codes, k)[starts] if len(starts) else np.empty(
+        0, np.uint32
+    )
     pos = starts + k  # one past the last base (reference: src/IMSAME.c:247)
     # sid: read containing the k-mer == read containing its first base.
     sid = np.searchsorted(db.start, starts, side="right") - 1
-    # Sort by key asc, pos desc.  np.lexsort is stable; keys last = primary.
-    order = np.lexsort((-pos, keys))
+    # Sort by key asc, pos desc: one argsort of a composite uint64 (single
+    # radix pass; ~3x faster than np.lexsort on two keys).
+    composite = (keys.astype(np.uint64) << np.uint64(32)) | (
+        np.uint64(2**32 - 1) - pos.astype(np.uint64)
+    )
+    order = np.argsort(composite, kind="stable")
     return KmerIndex(
         keys=keys[order],
         pos=pos[order].astype(np.int64),

@@ -2,22 +2,27 @@
 
 The resolution loop's per-round work -- mapping each active read's next R
 candidate ranks to (k-mer slot, bucket offset, index entry), fetching hit
-positions and read bounds, and running the ungapped-extension gate -- is
-one fused jit step over device-resident tables.  The host ships only two
-small arrays per round (active read ids and their next candidate rank) and
-receives the pass mask and hit read-ids; everything else stays on device.
-This matters because the engine may sit behind a high-latency link to the
-chip: per-round traffic is O(A) instead of O(A * R * window).
+positions, and running the ungapped-extension gate -- is one fused jit
+step over device-resident tables.  The host ships only two small arrays
+per round (active read ids and their next candidate rank) and receives a
+packed pass-bit mask; everything else stays on device.
+
+The extension itself runs on 2-bit-packed read rows (ops/extend_packed.py)
+rather than the concatenated byte arrays: per-base random gathers are the
+dominant cost on TPU, and the packed form replaces them with two small
+word-window gathers per candidate.
 
 Tables (uploaded once per compare):
   Ccum[i]   exclusive cumsum of bucket sizes per k-mer slot (stream order)
+  t_of_gc[c] k-mer slot owning global candidate rank c
   lo[i]     index bucket start for slot i
   kp[i]     k-mer start position for slot i
   C_off[r]  first global candidate rank of read r
   N_r[r]    total candidates of read r
   idx_pos/idx_sid   the sorted k-mer index payload
-  dxs/dxe   per-db-read extension bounds
-  qys/qye   per-query-read extension bounds
+  q_start/db_start  per-read offsets into the concatenated arrays
+  qlen/dlen per-read lengths
+  qp/dp     packed 2-bit read rows
   thr[r]    per-read integer raw-score threshold (see ops/extend.py)
 """
 
@@ -30,29 +35,29 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import FIXED_K
-from .extend import extend_batch
+from .extend_packed import extend_packed
 
 
 class RoundTables(NamedTuple):
     Ccum: jax.Array  # [K+1] int32
-    t_of_gc: jax.Array  # [total_c] int32: k-mer slot owning candidate rank
+    t_of_gc: jax.Array  # [total_c] int32
     lo: jax.Array  # [K] int32
     kp: jax.Array  # [K] int32
     C_off: jax.Array  # [n] int32
     N_r: jax.Array  # [n] int32
     idx_pos: jax.Array  # [N] int32
     idx_sid: jax.Array  # [N] int32
-    dxs: jax.Array  # [n_db] int32
-    dxe: jax.Array  # [n_db] int32
-    qys: jax.Array  # [n] int32
-    qye: jax.Array  # [n] int32
+    q_start: jax.Array  # [n] int32
+    db_start: jax.Array  # [n_db] int32
+    qlen: jax.Array  # [n] int32
+    dlen: jax.Array  # [n_db] int32
+    qp: jax.Array  # [n, WPq] uint32 packed query rows
+    dp: jax.Array  # [n_db, WPd] uint32 packed db rows
     thr: jax.Array  # [n] int32
-    db_codes: jax.Array  # [Ld] uint8
-    q_codes: jax.Array  # [Lq] uint8
 
 
 class RoundResult(NamedTuple):
-    pass_bits: jax.Array  # [A, R//32] int32 packed pass mask (bit k of word
+    pass_bits: jax.Array  # [A, Rp//32] int32 packed pass mask (bit k of word
     # w = candidate slot w*32+k); keeps the per-round device->host transfer
     # tiny -- the host recomputes hit ids from its own copy of the tables.
 
@@ -68,7 +73,6 @@ def candidate_round(
     window: int,
 ) -> RoundResult:
     A = act.shape[0]
-    t32 = lambda a: a.astype(jnp.int32)
     g = next_g[:, None] + jnp.arange(R, dtype=jnp.int32)[None, :]
     valid = (g < tables.N_r[act][:, None]) & row_valid[:, None]
     total_c = tables.t_of_gc.shape[0]
@@ -78,21 +82,22 @@ def candidate_round(
     t = tables.t_of_gc[gc]
     h = gc - tables.Ccum[t]
     hit = jnp.clip(tables.lo[t] + h, 0, jnp.maximum(tables.idx_pos.shape[0] - 1, 0))
-    pos_db = tables.idx_pos[hit]
-    sid = tables.idx_sid[hit]
-    pos_q = tables.kp[t] + FIXED_K
+    sid = tables.idx_sid[hit].reshape(-1)
+    r_ids = act[:, None].repeat(R, 1).reshape(-1)
+    doff = (tables.idx_pos[hit].reshape(-1) - tables.db_start[sid])
+    qoff = (tables.kp[t].reshape(-1) + FIXED_K) - tables.q_start[r_ids]
 
-    res = extend_batch(
-        tables.db_codes,
-        tables.q_codes,
-        pos_db.reshape(-1),
-        pos_q.reshape(-1),
-        tables.dxs[sid].reshape(-1),
-        tables.dxe[sid].reshape(-1),
-        tables.qys[act][:, None].repeat(R, 1).reshape(-1),
-        tables.qye[act][:, None].repeat(R, 1).reshape(-1),
-        tables.thr[act][:, None].repeat(R, 1).reshape(-1),
-        window=window,
+    res = extend_packed(
+        tables.qp,
+        tables.dp,
+        r_ids,
+        sid,
+        qoff,
+        doff,
+        tables.qlen[r_ids],
+        tables.dlen[sid],
+        tables.thr[r_ids],
+        W=window,
     )
     passes = res.passes.reshape(A, R) & valid
     # pack 32 slots per int32 word (pad R up to a word boundary)

@@ -1,0 +1,71 @@
+"""Fused gapped-alignment resolve step: row gather -> NW -> traceback.
+
+One jit per pair chunk: the host ships only the pair index vectors
+(qread, dbread); the kernel gathers the 2-bit-packed read rows already
+resident on device, unpacks them to code matrices, runs the wavefront
+aligner (ops/nw_pallas.py on TPU, ops/nw.py elsewhere) and the batched
+traceback, and returns per-pair stats plus the traceback chain.  This
+keeps host->device traffic per alignment at 8 bytes instead of 2*L.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .extend_packed import BASES_PER_WORD
+from .nw import nw_forward_batch
+from .nw_pallas import nw_forward_batch_pallas
+from .traceback import TracebackResult, traceback_batch
+
+
+def unpack_rows(packed: jax.Array, idx: jax.Array, L: int) -> jax.Array:
+    """Gather packed rows by index and unpack to [B, L] uint8 codes."""
+    wp = L // BASES_PER_WORD
+    rows = packed[idx][:, :wp]  # [B, wp] uint32
+    shifts = (2 * jnp.arange(BASES_PER_WORD, dtype=jnp.uint32))[None, None, :]
+    codes = (rows[:, :, None] >> shifts) & jnp.uint32(3)
+    return codes.reshape(idx.shape[0], L).astype(jnp.uint8)
+
+
+class ResolveNWResult(NamedTuple):
+    length: jax.Array  # [B] int32
+    identities: jax.Array  # [B] int32
+    ylen: jax.Array  # [B] int32
+    n_steps: jax.Array  # [B] int32
+    chain: jax.Array  # [B, 2L] int32 (device; fetched lazily per accept)
+
+
+@functools.partial(jax.jit, static_argnames=("max_len", "use_pallas"))
+def nw_traceback_rows(
+    qp: jax.Array,  # [n_q, WPq] uint32 packed query rows
+    dp: jax.Array,  # [n_db, WPd] uint32 packed db rows
+    r: jax.Array,  # [B] int32 query read ids (padded entries repeat 0)
+    s: jax.Array,  # [B] int32 db read ids
+    qlen: jax.Array,  # [n_q] int32
+    dlen: jax.Array,  # [n_db] int32
+    igap,
+    egap,
+    *,
+    max_len: int,
+    use_pallas: bool,
+) -> ResolveNWResult:
+    X = unpack_rows(dp, s, max_len)
+    Y = unpack_rows(qp, r, max_len)
+    xl = dlen[s]
+    yl = qlen[r]
+    nw_fn = nw_forward_batch_pallas if use_pallas else nw_forward_batch
+    res = nw_fn(X, Y, xl, yl, igap, egap, max_len=max_len)
+    tb: TracebackResult = traceback_batch(
+        res.bp, res.best_i, res.best_j, X, Y, max_len=max_len
+    )
+    return ResolveNWResult(
+        length=tb.length,
+        identities=tb.identities,
+        ylen=yl.astype(jnp.int32),
+        n_steps=tb.n_steps,
+        chain=tb.chain,
+    )

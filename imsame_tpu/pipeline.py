@@ -13,14 +13,29 @@ its acceptance semantics bit-exact:
     db read) pair -- the aligner sees full reads -- so acceptance can be
     evaluated out of order and the winner recovered as the first candidate
     whose pair accepts.  We therefore:
-      1. gate candidates in windowed batches on device (ops/extend.py),
-      2. walk passing candidates *in stream order* per read, batching the
-         gapped alignments of first-unknown pairs across reads
-         (ops/nw.py + ops/traceback.py), caching rejected pairs,
+      1. gate candidates in *growing* windows on device (ops/candidates.py
+         over packed rows, ops/extend_packed.py): most reads resolve inside
+         their first few candidates, so the first window is small and later
+         windows grow geometrically -- the total gated work tracks the
+         reference's early-exit scan instead of the full candidate count;
+      2. pick each read's first passing candidate in stream order
+         (vectorized on host from the pass bits), batch the gapped
+         alignments of all first-unknown pairs across reads in fused
+         gather->NW->traceback device chunks (ops/resolve.py), caching
+         rejected pairs;
       3. stop each read at its first accepting candidate.
 
 This yields identical accepted pairs and, with the shared renderer, a
 byte-identical report to the reference binary at n_threads=1.
+
+Row-coordinate bound reduction (used by the packed extension): the
+reference clamps the extension walk with four checks -- array end, and the
+per-read bounds rxs/rxe/rys/rye from _read_bounds_ext (last read's end
+bound is total_len, src/alignmentFunctions.c:280-294).  Because reads are
+concatenated contiguously, all four reduce in row coordinates to
+``o <= read_len - 1 - offset`` (forward) and ``o <= offset - K - 1``
+(backward) for *both* the last-read and interior cases, so the walk never
+leaves the owning read and per-read packed rows are sufficient.
 """
 
 from __future__ import annotations
@@ -40,9 +55,8 @@ from .io.reconstruct import backtrack_from_chain
 from .io.report import format_record, render_alignment
 from .ops.candidates import RoundTables, candidate_round
 from .ops.extend import raw_score_threshold
-from .ops.nw import nw_forward_batch
-from .ops.nw_pallas import nw_forward_batch_pallas
-from .ops.traceback import traceback_batch
+from .ops.extend_packed import pack_read_rows
+from .ops.resolve import nw_traceback_rows
 from .utils.timing import PhaseTimer
 
 
@@ -85,18 +99,35 @@ def _pow2_pad(n: int, cap: int) -> int:
     return min(p, cap) if n <= cap else cap
 
 
-def _read_bounds_ext(si: SeqInfo) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-read extension bounds with the reference's last-read asymmetry
-    (src/alignmentFunctions.c:280-294): end bound is the last base index for
-    all reads except the last, where it is total_len."""
-    n = si.n_seqs
-    starts = si.start.astype(np.int64)
-    ends = np.empty(n, np.int64)
-    if n > 1:
-        ends[:-1] = starts[1:] - 1
-    if n > 0:
-        ends[-1] = si.total_len
-    return starts, ends
+def _pad_pow2_1d(a: np.ndarray, fill, min_size: int = 256) -> np.ndarray:
+    """Pad a 1-D array to the next power-of-two length (>= min_size).
+
+    Compiled kernel shapes are keyed on every table's length; quantizing
+    lengths to powers of two makes different queries / db samples of
+    similar size reuse the same executables instead of recompiling
+    (compilation on a tunneled TPU costs tens of seconds)."""
+    n = len(a)
+    p = min_size
+    while p < n:
+        p *= 2
+    if p == n:
+        return a
+    out = np.full(p, fill, a.dtype)
+    out[:n] = a
+    return out
+
+
+def _pad_pow2_rows(a: np.ndarray, min_size: int = 256) -> np.ndarray:
+    """Pad a 2-D array's leading axis to the next power of two."""
+    n = a.shape[0]
+    p = min_size
+    while p < n:
+        p *= 2
+    if p == n:
+        return a
+    out = np.zeros((p,) + a.shape[1:], a.dtype)
+    out[:n] = a
+    return out
 
 
 class TpuEngine:
@@ -109,17 +140,40 @@ class TpuEngine:
         self.timer = PhaseTimer()
         with self.timer.phase("index_build"):
             self.index: KmerIndex = build_index(db)
-        # Device-resident database state.
-        self.d_db_codes = jnp.asarray(db.codes)
-        self.d_idx_keys = jnp.asarray(self.index.keys)
-        self.dxs, self.dxe = _read_bounds_ext(db)
         self.db_read_lens = db.read_lens()
+        self._db_bucket = (
+            self._nw_bucket(int(self.db_read_lens.max()))
+            if db.n_seqs
+            else self.cfg.length_buckets[0]
+        )
+        self._dp_cache: Dict[int, jax.Array] = {}
+        # Engine-fixed device tables, pow2-padded for cross-sample shape
+        # reuse (padding entries are masked or clipped on device).
+        i32p = lambda a, fill=0: jnp.asarray(
+            _pad_pow2_1d(np.asarray(a, np.int32), fill)
+        )
+        self._d_idx_pos = i32p(self.index.pos)
+        self._d_idx_sid = i32p(self.index.sid)
+        self._d_db_start = i32p(db.start)
+        self._d_dlen = i32p(self.db_read_lens, 2)
         self._nw_cells = 0
         self._n_cands = 0
         use_pallas = self.cfg.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self._use_pallas = use_pallas
+
+    def _packed_db_rows(self, row_len: int) -> jax.Array:
+        if row_len not in self._dp_cache:
+            self._dp_cache[row_len] = jnp.asarray(
+                _pad_pow2_rows(
+                    pack_read_rows(
+                        self.db.codes, self.db.start,
+                        self.db_read_lens, row_len,
+                    )
+                )
+            )
+        return self._dp_cache[row_len]
 
     # ------------------------------------------------------------------
     def _kmer_stream(self, q: SeqInfo):
@@ -170,8 +224,7 @@ class TpuEngine:
         # keys + bucket ranges in one vectorized pass
         all_keys = rolling_keys(q.codes)  # key at every concat position
         keys = all_keys[kp] if total_kmers else np.empty(0, np.uint32)
-        lo = np.searchsorted(self.index.keys, keys, side="left")
-        hi = np.searchsorted(self.index.keys, keys, side="right")
+        lo, hi = self.index.lookup_ranges(keys)
         cnt = (hi - lo).astype(np.int64)
         Ccum = np.zeros(total_kmers + 1, np.int64)
         np.cumsum(cnt, out=Ccum[1:])
@@ -185,70 +238,67 @@ class TpuEngine:
                 return b
         raise ValueError("Read size reached for gapped alignment.")
 
-    def _run_nw_batch(
+    def _run_nw_pairs(
         self,
-        q: SeqInfo,
-        pairs: List[Tuple[int, int]],  # (qread, dbread)
-        q_codes_dev: jax.Array,
-    ) -> List[Tuple[int, int, int, np.ndarray, int]]:
-        """Gapped-align pairs; returns (length, identities, ylen, chain,
-        n_steps) per pair, grouped transparently by length bucket.  All
-        chunks are dispatched asynchronously before any result is awaited,
-        so one round pays a single device round-trip."""
-        db = self.db
-        out: List = [None] * len(pairs)
-        by_bucket: Dict[int, List[int]] = {}
-        for i, (r, s) in enumerate(pairs):
-            xlen = int(self.db_read_lens[s])
-            ylen = q.read_len(r)
-            if xlen > MAX_READ_SIZE or ylen > MAX_READ_SIZE:
-                raise ValueError("Read size reached for gapped alignment.")
-            by_bucket.setdefault(self._nw_bucket(max(xlen, ylen)), []).append(i)
+        r_ids: np.ndarray,  # [P] query read ids
+        sids: np.ndarray,  # [P] db read ids
+        qlens: np.ndarray,  # per-read query lengths (host)
+        d_qp: jax.Array,
+        d_dp: jax.Array,
+        d_qlen: jax.Array,
+        d_dlen: jax.Array,
+    ) -> List[Tuple[int, int, int, object, int, int]]:
+        """Gapped-align pairs; returns (length, identities, ylen, chain_dev,
+        chain_row, n_steps) per pair.  All chunks are dispatched before any
+        result is fetched, so one call pays one device round-trip."""
+        P = len(r_ids)
+        out: List = [None] * P
+        xls = self.db_read_lens[sids]
+        yls = qlens[r_ids]
+        if P and (int(xls.max()) > MAX_READ_SIZE or int(yls.max()) > MAX_READ_SIZE):
+            raise ValueError("Read size reached for gapped alignment.")
+        self._nw_cells += int(np.sum(xls.astype(np.int64) * yls))
+        maxl = np.maximum(xls, yls)
+        by_bucket: Dict[int, np.ndarray] = {}
+        buckets = np.array([self._nw_bucket(int(m)) for m in maxl], np.int64) \
+            if P else np.empty(0, np.int64)
+        for L in np.unique(buckets):
+            by_bucket[int(L)] = np.flatnonzero(buckets == L)
 
-        nw_fn = nw_forward_batch_pallas if self._use_pallas else nw_forward_batch
-        pending = []  # (chunk, yl, traceback result) with results in flight
+        pending = []
         for L, idxs in by_bucket.items():
             for c0 in range(0, len(idxs), self.cfg.nw_batch):
                 chunk = idxs[c0 : c0 + self.cfg.nw_batch]
-                B = _pow2_pad(len(chunk), self.cfg.nw_batch)
-                Xb = np.zeros((B, L), np.uint8)
-                Yb = np.ones((B, L), np.uint8)  # padded pairs never accepted
-                xl = np.full(B, 2, np.int32)
-                yl = np.full(B, 2, np.int32)
-                for b, i in enumerate(chunk):
-                    r, s = pairs[i]
-                    xs = int(db.start[s])
-                    xe = db.read_end(s)
-                    ys = int(q.start[r])
-                    ye = q.read_end(r)
-                    Xb[b, : xe - xs] = db.codes[xs:xe]
-                    Yb[b, : ye - ys] = q.codes[ys:ye]
-                    xl[b] = xe - xs
-                    yl[b] = ye - ys
-                self._nw_cells += int(
-                    np.sum(xl[: len(chunk)].astype(np.int64) * yl[: len(chunk)])
+                B = self.cfg.nw_batch  # fixed shape: one compile per L
+                rpad = np.zeros(B, np.int32)
+                spad = np.zeros(B, np.int32)
+                rpad[: len(chunk)] = r_ids[chunk]
+                spad[: len(chunk)] = sids[chunk]
+                res = nw_traceback_rows(
+                    d_qp,
+                    d_dp,
+                    jnp.asarray(rpad),
+                    jnp.asarray(spad),
+                    d_qlen,
+                    d_dlen,
+                    self.cfg.igap,
+                    self.cfg.egap,
+                    max_len=L,
+                    use_pallas=self._use_pallas,
                 )
-                Xd = jnp.asarray(Xb)
-                Yd = jnp.asarray(Yb)
-                res = nw_fn(
-                    Xd, Yd, jnp.asarray(xl), jnp.asarray(yl),
-                    self.cfg.igap, self.cfg.egap, max_len=L,
-                )
-                tb = traceback_batch(
-                    res.bp, res.best_i, res.best_j, Xd, Yd, max_len=L
-                )
-                pending.append((chunk, yl, tb))
+                pending.append((chunk, res))
 
-        for chunk, yl, tb in pending:
-            lengths = np.asarray(tb.length)
-            idents = np.asarray(tb.identities)
-            nsteps = np.asarray(tb.n_steps)
+        for chunk, res in pending:
+            lengths = np.asarray(res.length)
+            idents = np.asarray(res.identities)
+            ylen = np.asarray(res.ylen)
+            nsteps = np.asarray(res.n_steps)
             for b, i in enumerate(chunk):
                 out[i] = (
                     int(lengths[b]),
                     int(idents[b]),
-                    int(yl[b]),
-                    tb.chain,  # device buffer, fetched lazily
+                    int(ylen[b]),
+                    res.chain,  # device buffer, fetched lazily
                     b,
                     int(nsteps[b]),
                 )
@@ -267,12 +317,10 @@ class TpuEngine:
         n = q.n_seqs
         N_r = (C_off[1:] - C_off[:-1]) if n else np.empty(0, np.int64)
 
-        q_codes_dev = jnp.asarray(q.codes)
         qlens = q.read_lens() if n else np.empty(0, np.int64)
         thr = raw_score_threshold(qlens, db.total_len, cfg.min_e_value)
-        qys, qye = _read_bounds_ext(q)
 
-        # static extension window: longest read in either sample, padded
+        # shared packed-row length: one bucket covering both samples
         max_rl = 1
         if n:
             max_rl = max(max_rl, int(qlens.max()))
@@ -285,142 +333,189 @@ class TpuEngine:
         rejected: Dict[int, Set[int]] = {}
         accepted_records: List[AcceptedRead] = []
 
-        R = cfg.cands_per_round
-
-        # Device-resident round tables (one upload per compare).
-        if idx.n_entries == 0 or Ccum[-1] == 0 or n == 0:
-            tables = None
-        else:
-            i32 = lambda a: jnp.asarray(np.asarray(a, np.int32))
-            cnt_k = (Ccum[1:] - Ccum[:-1]).astype(np.int64)
-            t_of_gc = np.repeat(
-                np.arange(len(cnt_k), dtype=np.int32), cnt_k
-            )
-            tables = RoundTables(
-                Ccum=i32(Ccum),
-                t_of_gc=i32(t_of_gc),
-                lo=i32(lo),
-                kp=i32(kp),
-                C_off=i32(C_off[:n]),
-                N_r=i32(N_r),
-                idx_pos=i32(idx.pos),
-                idx_sid=i32(idx.sid),
-                dxs=i32(self.dxs),
-                dxe=i32(self.dxe),
-                qys=i32(qys),
-                qye=i32(qye),
-                thr=jnp.asarray(thr),
-                db_codes=self.d_db_codes,
-                q_codes=q_codes_dev,
-            )
+        # Device-resident tables (one upload per compare).
+        tables = None
+        t_of_gc = np.empty(0, np.int32)
+        d_qp = d_dp = d_qlen = d_dlen = None
+        if idx.n_entries and Ccum[-1] and n:
+            with self.timer.phase("upload"):
+                # All query-shape tables are padded to power-of-two lengths
+                # so similar-size queries reuse compiled kernels (see
+                # _pad_pow2_1d).  Padding entries are never selected: valid
+                # candidate masks and row_valid gate everything, and all
+                # index arithmetic is clipped in-range on device.
+                i32p = lambda a, fill=0: jnp.asarray(
+                    _pad_pow2_1d(np.asarray(a, np.int32), fill)
+                )
+                cnt_k = (Ccum[1:] - Ccum[:-1]).astype(np.int64)
+                t_of_gc = np.repeat(
+                    np.arange(len(cnt_k), dtype=np.int32), cnt_k
+                )
+                d_qp = jnp.asarray(
+                    _pad_pow2_rows(
+                        pack_read_rows(q.codes, q.start, qlens, window)
+                    )
+                )
+                d_dp = self._packed_db_rows(window)
+                d_qlen = i32p(qlens, 2)
+                d_dlen = self._d_dlen
+                tables = RoundTables(
+                    Ccum=i32p(Ccum, int(Ccum[-1])),
+                    t_of_gc=i32p(t_of_gc),
+                    lo=i32p(lo),
+                    kp=i32p(kp),
+                    C_off=i32p(C_off[:n]),
+                    N_r=i32p(N_r),
+                    idx_pos=self._d_idx_pos,
+                    idx_sid=self._d_idx_sid,
+                    q_start=i32p(q.start),
+                    db_start=self._d_db_start,
+                    qlen=d_qlen,
+                    dlen=d_dlen,
+                    qp=d_qp,
+                    dp=d_dp,
+                    thr=jnp.asarray(
+                        _pad_pow2_1d(thr, np.iinfo(np.int32).max)
+                    ),
+                )
 
         with self.timer.phase("resolve"):
+            round_i = 0
             while tables is not None:
-                active = np.flatnonzero(~resolved & (next_g < N_r))
-                if len(active) == 0:
+                active_all = np.flatnonzero(~resolved & (next_g < N_r))
+                if len(active_all) == 0:
                     break
-                A = len(active)
-                # Pad the active-read axis to a power of two for stable jit
-                # shapes; padded rows duplicate read 0 and are masked out.
-                A_pad = _pow2_pad(A, max(8, cfg.read_batch))
-                if A > A_pad:
-                    active = active[:A_pad]
-                    A = A_pad
-                pad_rows = A_pad - A
-                act = np.concatenate([active, np.zeros(pad_rows, np.int64)])
-                row_valid = np.zeros(A_pad, bool)
-                row_valid[:A] = True
+                sched = cfg.cands_schedule
+                R, A_blk = sched[min(round_i, len(sched) - 1)]
+                round_i += 1
 
-                self._n_cands += int(
-                    np.minimum(
-                        np.maximum(N_r[act[:A]] - next_g[act[:A]], 0), R
-                    ).sum()
-                )
+                # --- extension gate: all active reads, window of R ---
+                passes_parts = []
+                pending = []
                 with self.timer.phase("resolve.extend"):
-                    rr = candidate_round(
-                        tables,
-                        jnp.asarray(act.astype(np.int32)),
-                        jnp.asarray(next_g[act].astype(np.int32)),
-                        jnp.asarray(row_valid),
-                        R=R,
-                        window=window,
-                    )
-                    # ascontiguousarray: device arrays can come back with
-                    # padded strides (TPU layouts); .view() needs contiguity.
-                    pb = np.ascontiguousarray(
-                        np.asarray(rr.pass_bits), dtype="<u4"
-                    )
-                    passes = (
-                        np.unpackbits(
-                            pb.view(np.uint8).reshape(A_pad, -1),
+                    for i0 in range(0, len(active_all), A_blk):
+                        sl = active_all[i0 : i0 + A_blk]
+                        A = len(sl)
+                        A_pad = A_blk  # fixed shape: one compile per (R, A)
+                        act = np.zeros(A_pad, np.int64)
+                        act[:A] = sl
+                        row_valid = np.zeros(A_pad, bool)
+                        row_valid[:A] = True
+                        self._n_cands += int(
+                            np.minimum(
+                                np.maximum(N_r[sl] - next_g[sl], 0), R
+                            ).sum()
+                        )
+                        rr = candidate_round(
+                            tables,
+                            jnp.asarray(act.astype(np.int32)),
+                            jnp.asarray(next_g[act].astype(np.int32)),
+                            jnp.asarray(row_valid),
+                            R=R,
+                            window=window,
+                        )
+                        pending.append((A, rr))
+                    for A, rr in pending:
+                        # ascontiguousarray: device arrays can come back
+                        # with padded strides; .view() needs contiguity.
+                        pb = np.ascontiguousarray(
+                            np.asarray(rr.pass_bits), dtype="<u4"
+                        )
+                        p = np.unpackbits(
+                            pb.view(np.uint8).reshape(pb.shape[0], -1),
                             axis=1,
                             bitorder="little",
-                        )[:, :R]
-                        .astype(bool)
-                    )
+                        )[:A, :R].astype(bool)
+                        passes_parts.append(p)
+                passes = (
+                    np.vstack(passes_parts)
+                    if passes_parts
+                    else np.zeros((0, R), bool)
+                )
 
-                def sid_of(read: int, slot: int) -> int:
-                    gc = int(next_g[read]) + slot + int(C_off[read])
-                    t = int(t_of_gc[gc])
-                    return int(idx.sid[lo[t] + gc - Ccum[t]])
-
-                # Walk passing candidates in stream order per read, batching
-                # unknown pairs across reads.  The first-passing-slot search
-                # is vectorized; Python only touches rows that actually have
-                # a passing candidate (and the rare rejected-pair reruns).
-                cursor = np.zeros(A, np.int64)  # next window slot to inspect
-                undecided = np.ones(A, bool)
+                # --- stream-order pick + batched NW until decided ---
+                A_tot = len(active_all)
+                cursor = np.zeros(A_tot, np.int64)
+                undecided = passes.any(axis=1)
                 slots = np.arange(R)[None, :]
-                pA = passes[:A]
                 while True:
-                    nw_pairs: List[Tuple[int, int]] = []
-                    nw_owner: List[int] = []
-                    mask = pA & (slots >= cursor[:, None])
-                    mask[~undecided] = False
-                    has = mask.any(axis=1)
-                    first = mask.argmax(axis=1)
-                    undecided &= has
-                    for a in np.flatnonzero(undecided):
-                        r = int(active[a])
-                        rej = rejected.get(r)
-                        m = int(first[a])
-                        chosen = -1
-                        while m < R:
-                            if pA[a, m]:
-                                s = sid_of(r, m)
-                                if rej is None or s not in rej:
-                                    chosen = m
-                                    break
-                            m += 1
-                        if chosen < 0:
-                            undecided[a] = False
-                        else:
-                            cursor[a] = chosen
-                            nw_pairs.append((r, sid_of(r, chosen)))
-                            nw_owner.append(a)
-                    if not nw_pairs:
+                    sel = np.flatnonzero(undecided)
+                    if len(sel) == 0:
                         break
+                    mask = passes[sel] & (slots >= cursor[sel, None])
+                    has = mask.any(axis=1)
+                    sel = sel[has]
+                    undecided[undecided] = False
+                    if len(sel) == 0:
+                        break
+                    first = (
+                        passes[sel] & (slots >= cursor[sel, None])
+                    ).argmax(axis=1)
+                    r_sel = active_all[sel]
+                    gcs = next_g[r_sel] + first + C_off[r_sel]
+                    ts = t_of_gc[gcs]
+                    sids = idx.sid[lo[ts] + gcs - Ccum[ts]]
+                    # rejected-pair exclusion (rare: only reads that had an
+                    # NW rejection): advance to the next passing slot whose
+                    # pair is still unknown.
+                    keep = np.ones(len(sel), bool)
+                    if rejected:
+                        for k in range(len(sel)):
+                            r = int(r_sel[k])
+                            rej = rejected.get(r)
+                            if rej is None or int(sids[k]) not in rej:
+                                continue
+                            m = int(first[k]) + 1
+                            row = passes[sel[k]]
+                            chosen = -1
+                            while m < R:
+                                if row[m]:
+                                    gc2 = int(next_g[r]) + m + int(C_off[r])
+                                    t2 = int(t_of_gc[gc2])
+                                    s2 = int(
+                                        idx.sid[int(lo[t2]) + gc2 - int(Ccum[t2])]
+                                    )
+                                    if s2 not in rej:
+                                        chosen = m
+                                        sids[k] = s2
+                                        break
+                                m += 1
+                            if chosen < 0:
+                                keep[k] = False
+                            else:
+                                first[k] = chosen
+                    sel, first, r_sel, sids = (
+                        sel[keep], first[keep], r_sel[keep], sids[keep]
+                    )
+                    if len(sel) == 0:
+                        break
+                    cursor[sel] = first
                     with self.timer.phase("resolve.nw"):
-                        results = self._run_nw_batch(q, nw_pairs, q_codes_dev)
-                    for (r, s), a, (length, idents, ylen, cdev, crow, nst) in zip(
-                        nw_pairs, nw_owner, results
+                        results = self._run_nw_pairs(
+                            r_sel, sids.astype(np.int64), qlens,
+                            d_qp, d_dp, d_qlen, d_dlen,
+                        )
+                    for k, (length, idents, ylen, cdev, crow, nst) in enumerate(
+                        results
                     ):
+                        r = int(r_sel[k])
                         if (
                             length / ylen >= cfg.min_coverage
                             and idents / length >= cfg.min_identity
                         ):
                             resolved[r] = True
-                            undecided[a] = False
                             accepted_records.append(
                                 AcceptedRead(
-                                    r, s, length, idents, ylen, nst,
-                                    chain_dev=cdev, chain_row=crow,
+                                    r, int(sids[k]), length, idents, ylen,
+                                    nst, chain_dev=cdev, chain_row=crow,
                                 )
                             )
                         else:
-                            rejected.setdefault(r, set()).add(s)
-                            cursor[a] += 1
-                next_g[active] += R
+                            rejected.setdefault(r, set()).add(int(sids[k]))
+                            k_row = sel[k]
+                            cursor[k_row] += 1
+                            undecided[k_row] = True
+                next_g[active_all] += R
 
         with self.timer.phase("render"):
             accepted_records.sort(key=lambda a: a.qread)

@@ -1,0 +1,113 @@
+"""Packed-row extension vs the flat-gather extension (itself oracle-
+validated) over real k-mer hits, with variable-length reads to exercise
+the row-coordinate bound reductions."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imsame_tpu.constants import FIXED_K
+from imsame_tpu.index.kmer import build_index, pack_kmers
+from imsame_tpu.io.fasta import parse_fasta_bytes
+from imsame_tpu.ops.extend import extend_batch, raw_score_threshold
+from imsame_tpu.ops.extend_packed import extend_packed, pack_read_rows
+from util_synth import mutate, random_read
+
+
+def _mk_seqinfos(rng, n=24, sub=0.08, indel=0.05):
+    q = [random_read(rng, rng.randint(40, 110)) for _ in range(n)]
+    db = [mutate(rng, r, sub, indel) for r in q[: n // 2]]
+    db += [random_read(rng, rng.randint(40, 110)) for _ in range(n - n // 2)]
+    qd = "".join(f">q{i}\n{r}\n" for i, r in enumerate(q)).encode()
+    dd = "".join(f">d{i}\n{r}\n" for i, r in enumerate(db)).encode()
+    return parse_fasta_bytes(qd), parse_fasta_bytes(dd)
+
+
+def _bounds(si, r):
+    if r == si.n_seqs - 1:
+        return int(si.start[r]), si.total_len
+    return int(si.start[r]), int(si.start[r + 1]) - 1
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_packed_matches_flat(seed):
+    rng = random.Random(seed)
+    qi, di = _mk_seqinfos(rng)
+    idx = build_index(di)
+
+    cands = []
+    for r in range(qi.n_seqs):
+        s, e = int(qi.start[r]), qi.read_end(r)
+        # include the boundary-straddling k-mer start (SURVEY.md 6.5)
+        p0 = max(0, s - 1) if r > 0 else s
+        for p in range(p0, e - FIXED_K + 1):
+            key = int(pack_kmers(qi.codes, np.array([p], dtype=np.int64))[0])
+            lo, hi = idx.lookup_range(key)
+            for h in range(lo, hi):
+                cands.append((int(idx.pos[h]), p + FIXED_K, r, int(idx.sid[h])))
+    rng.shuffle(cands)
+    cands = cands[:500]
+    assert len(cands) > 40
+
+    pos_db = np.array([c[0] for c in cands], np.int32)
+    pos_q = np.array([c[1] for c in cands], np.int32)
+    reads = np.array([c[2] for c in cands], np.int64)
+    sids = np.array([c[3] for c in cands], np.int64)
+    rxs = np.array([_bounds(di, s)[0] for s in sids], np.int32)
+    rxe = np.array([_bounds(di, s)[1] for s in sids], np.int32)
+    rys = np.array([_bounds(qi, r)[0] for r in reads], np.int32)
+    rye = np.array([_bounds(qi, r)[1] for r in reads], np.int32)
+    thr = raw_score_threshold(qi.read_lens(), di.total_len, 1e-20)
+    raw_min = thr[reads].astype(np.int32)
+
+    W = 128
+    flat = extend_batch(
+        jnp.asarray(di.codes), jnp.asarray(qi.codes),
+        jnp.asarray(pos_db), jnp.asarray(pos_q),
+        jnp.asarray(rxs), jnp.asarray(rxe),
+        jnp.asarray(rys), jnp.asarray(rye),
+        jnp.asarray(raw_min), window=W,
+    )
+
+    qlens = qi.read_lens()
+    dlens = di.read_lens()
+    qp = pack_read_rows(qi.codes, qi.start, qlens, W)
+    dp = pack_read_rows(di.codes, di.start, dlens, W)
+    packed = extend_packed(
+        jnp.asarray(qp), jnp.asarray(dp),
+        jnp.asarray(reads.astype(np.int32)),
+        jnp.asarray(sids.astype(np.int32)),
+        jnp.asarray(pos_q - qi.start[reads].astype(np.int32)),
+        jnp.asarray(pos_db - di.start[sids].astype(np.int32)),
+        jnp.asarray(qlens[reads].astype(np.int32)),
+        jnp.asarray(dlens[sids].astype(np.int32)),
+        jnp.asarray(raw_min), W=W,
+    )
+
+    np.testing.assert_array_equal(np.asarray(packed.raw), np.asarray(flat.raw))
+    np.testing.assert_array_equal(
+        np.asarray(packed.passes), np.asarray(flat.passes)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(packed.t_len), np.asarray(flat.t_len)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(packed.idents), np.asarray(flat.idents)
+    )
+
+
+def test_pack_read_rows_layout():
+    codes = np.array([0, 1, 2, 3] * 10, np.uint8)
+    start = np.array([0, 7], np.int64)
+    lens = np.array([7, 33], np.int64)
+    rows = pack_read_rows(codes, start, lens, 48)
+    assert rows.shape == (2, 3)
+    # base b of row i = bits 2*(b%16) of word b//16
+    for i in range(2):
+        for b in range(int(lens[i])):
+            got = (rows[i, b // 16] >> np.uint32(2 * (b % 16))) & np.uint32(3)
+            assert got == codes[start[i] + b]
+    # padding past the read length is zero
+    assert (rows[0, 1:] == 0).all()
