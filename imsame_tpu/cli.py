@@ -38,9 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gap extend penalty (negated, like the reference)")
     p.add_argument("--verbose", action="store_true",
                    help="accepted for compatibility; ignored (as upstream)")
-    p.add_argument("--tpu-cands-schedule", type=str,
-                   default="8x8192,768x1024,8192x128",
-                   help="per-round RxA extension shapes (window x read block)")
+    p.add_argument("--tpu-first-window", type=int, default=8,
+                   help="candidates gated per read in stage 1")
+    p.add_argument("--tpu-gate-chunks", type=str, default="524288,65536",
+                   help="fixed flat-gate chunk sizes (comma-separated)")
     p.add_argument("--tpu-nw-batch", type=int, default=2048)
     return p
 
@@ -59,9 +60,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
         igap=-args.igap,
         egap=-args.egap,
         n_threads=max(1, args.n_threads),
-        cands_schedule=tuple(
-            tuple(int(v) for v in x.split("x"))
-            for x in args.tpu_cands_schedule.split(",") if x
+        first_window=args.tpu_first_window,
+        gate_chunks=tuple(
+            int(x) for x in args.tpu_gate_chunks.split(",") if x
         ),
         nw_batch=args.tpu_nw_batch,
     )

@@ -38,15 +38,15 @@ class Config:
     n_threads: int = 1
 
     # --- TPU-engine tunables (no reference equivalent) ---
-    # Per-round (candidate window R, read-row block A) shapes for the
-    # extension gate.  Rounds use schedule[min(round, len-1)].  Most reads
-    # resolve inside their first few candidates, so round 0 is a wide read
-    # block with a small window; later rounds chase the tail with
-    # geometrically larger windows over fewer reads.  Each (R, A) pair is
-    # exactly one compiled kernel shape -- compilation on a tunneled TPU
-    # costs tens of seconds, so shapes must be few and FIXED (read blocks
-    # are padded up to A, never shrunk to fit).
-    cands_schedule: tuple = ((8, 8192), (768, 1024), (8192, 128))
+    # Candidates gated per read in stage 1 (most reads accept their first
+    # candidate, so a small first window resolves them cheaply); stage 2
+    # flat-gates every remaining candidate of the unresolved tail.
+    first_window: int = 8
+    # Fixed flat-gate chunk sizes (candidates per device call).  Chunks
+    # pad up to one of these exactly: each distinct shape is one XLA
+    # compile, and compilation behind a tunneled TPU costs tens of
+    # seconds, so shapes must be few and fixed.
+    gate_chunks: tuple = (1 << 19, 1 << 16)
     # NW pairs per kernel invocation -- also one fixed compiled shape
     # (chunks pad up to exactly this; bp memory is ~0.5 MB/pair at the
     # 256-bucket, so 2048 pairs ~= 1 GB HBM).
@@ -65,6 +65,8 @@ class Config:
             raise ValueError("min_identity must be > 0")
         if self.n_threads < 1:
             raise ValueError("n_threads must be >= 1")
+        if any(c % 32 for c in self.gate_chunks):
+            raise ValueError("gate_chunks must be multiples of 32")
 
 
 DEFAULT_CONFIG = Config()

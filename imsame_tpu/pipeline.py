@@ -13,16 +13,16 @@ its acceptance semantics bit-exact:
     db read) pair -- the aligner sees full reads -- so acceptance can be
     evaluated out of order and the winner recovered as the first candidate
     whose pair accepts.  We therefore:
-      1. gate candidates in *growing* windows on device (ops/candidates.py
-         over packed rows, ops/extend_packed.py): most reads resolve inside
-         their first few candidates, so the first window is small and later
-         windows grow geometrically -- the total gated work tracks the
-         reference's early-exit scan instead of the full candidate count;
-      2. pick each read's first passing candidate in stream order
-         (vectorized on host from the pass bits), batch the gapped
-         alignments of all first-unknown pairs across reads in fused
-         gather->NW->traceback device chunks (ops/resolve.py), caching
-         rejected pairs;
+      1. gate each read's first few candidates on device (ops/candidates.py
+         flat gate over packed rows, ops/extend_packed.py) -- most reads
+         accept their first candidate, mirroring the reference's early
+         exit -- then gate every remaining candidate of the unresolved
+         tail in one flat pass (random reads have no passing candidate
+         anywhere, so the reference walks their whole stream too);
+      2. walk each read's passing candidates in stream order, batching
+         the gapped alignments of first-unknown pairs across reads in
+         fused gather->NW->traceback device chunks (ops/resolve.py),
+         caching rejected pairs;
       3. stop each read at its first accepting candidate.
 
 This yields identical accepted pairs and, with the shared renderer, a
@@ -53,7 +53,7 @@ from .index.kmer import KmerIndex, build_index, rolling_keys
 from .io.fasta import CODE_TO_CHAR, SeqInfo
 from .io.reconstruct import backtrack_from_chain
 from .io.report import format_record, render_alignment
-from .ops.candidates import RoundTables, candidate_round
+from .ops.candidates import flat_gate
 from .ops.extend import raw_score_threshold
 from .ops.extend_packed import pack_read_rows
 from .ops.resolve import nw_traceback_rows
@@ -305,6 +305,126 @@ class TpuEngine:
         return out
 
     # ------------------------------------------------------------------
+    def _gate(
+        self, gcs, rids, kp, lo, Ccum, t_of_gc, thr, d_qp, d_qlen, q_start,
+        window,
+    ) -> np.ndarray:
+        """Gate a flat candidate-rank list on device; returns bool[len(gcs)].
+
+        Host maps global candidate ranks to (index hit row, query row
+        offset) from its own stream tables; the device only sees three
+        int32 vectors per chunk.  Chunks pad to a few fixed power-of-two
+        sizes (each distinct shape is one slow XLA compile)."""
+        N = len(gcs)
+        out = np.zeros(N, bool)
+        if N == 0:
+            return out
+        ts = t_of_gc[gcs]
+        hits = (lo[ts] + gcs - Ccum[ts]).astype(np.int32)
+        qoffs = (kp[ts] + FIXED_K - q_start[rids]).astype(np.int32)
+        thrc = thr[rids]
+        rids32 = rids.astype(np.int32)
+
+        sizes = sorted(self.cfg.gate_chunks, reverse=True)
+        pending = []
+        pos = 0
+        while pos < N:
+            rem = N - pos
+            size = next((z for z in reversed(sizes) if z >= rem), sizes[0])
+            take = min(rem, size)
+            rpad = np.zeros(size, np.int32)
+            hpad = np.zeros(size, np.int32)
+            qpad = np.zeros(size, np.int32)
+            tpad = np.full(size, np.iinfo(np.int32).max, np.int32)
+            sl = slice(pos, pos + take)
+            rpad[:take] = rids32[sl]
+            hpad[:take] = hits[sl]
+            qpad[:take] = qoffs[sl]
+            tpad[:take] = thrc[sl]
+            bits = flat_gate(
+                d_qp,
+                self._dp_cache[window],
+                d_qlen,
+                self._d_dlen,
+                self._d_idx_pos,
+                self._d_idx_sid,
+                self._d_db_start,
+                jnp.asarray(rpad),
+                jnp.asarray(hpad),
+                jnp.asarray(qpad),
+                jnp.asarray(tpad),
+                jnp.asarray(np.int32(take)),
+                window=window,
+            )
+            pending.append((pos, take, size, bits))
+            pos += take
+        for pos, take, size, bits in pending:
+            pb = np.ascontiguousarray(np.asarray(bits), dtype="<u4")
+            flat = np.unpackbits(
+                pb.view(np.uint8), bitorder="little"
+            )[:size].astype(bool)
+            out[pos : pos + take] = flat[:take]
+        return out
+
+    def _pick_and_align(
+        self,
+        pass_lists: Dict[int, List[int]],  # read -> passing sids, stream order
+        qlens: np.ndarray,
+        rejected: Dict[int, Set[int]],
+        resolved: np.ndarray,
+        accepted_records: List[AcceptedRead],
+        d_qp, d_dp, d_qlen, d_dlen,
+        cfg: Config,
+    ) -> None:
+        """Walk each read's passing candidates in stream order, batching the
+        gapped alignments of first-unknown pairs across reads; the first
+        accepting pair wins the read (reference NWaligned semantics)."""
+        heads: Dict[int, int] = {r: 0 for r in pass_lists}
+        while heads:
+            r_sel: List[int] = []
+            s_sel: List[int] = []
+            done: List[int] = []
+            for r, h in heads.items():
+                sl = pass_lists[r]
+                rej = rejected.get(r)
+                while h < len(sl) and rej is not None and sl[h] in rej:
+                    h += 1
+                if h >= len(sl):
+                    done.append(r)
+                else:
+                    heads[r] = h
+                    r_sel.append(r)
+                    s_sel.append(sl[h])
+            for r in done:
+                del heads[r]
+            if not r_sel:
+                break
+            with self.timer.phase("resolve.nw"):
+                results = self._run_nw_pairs(
+                    np.asarray(r_sel, np.int64), np.asarray(s_sel, np.int64),
+                    qlens, d_qp, d_dp, d_qlen, d_dlen,
+                )
+            for k, (length, idents, ylen, cdev, crow, nst) in enumerate(
+                results
+            ):
+                r = r_sel[k]
+                if (
+                    length / ylen >= cfg.min_coverage
+                    and idents / length >= cfg.min_identity
+                ):
+                    resolved[r] = True
+                    del heads[r]
+                    accepted_records.append(
+                        AcceptedRead(
+                            r, s_sel[k], length, idents, ylen, nst,
+                            chain_dev=cdev, chain_row=crow,
+                        )
+                    )
+                else:
+                    rejected.setdefault(r, set()).add(s_sel[k])
+                    heads[r] += 1
+
+    # ------------------------------------------------------------------
     def compare(self, q: SeqInfo) -> PipelineResult:
         cfg = self.cfg
         db = self.db
@@ -329,24 +449,11 @@ class TpuEngine:
         window = self._nw_bucket(max_rl)
 
         resolved = np.zeros(n, bool)
-        next_g = np.zeros(n, np.int64)
         rejected: Dict[int, Set[int]] = {}
         accepted_records: List[AcceptedRead] = []
 
-        # Device-resident tables (one upload per compare).
-        tables = None
-        t_of_gc = np.empty(0, np.int32)
-        d_qp = d_dp = d_qlen = d_dlen = None
-        if idx.n_entries and Ccum[-1] and n:
+        if idx.n_entries and n and Ccum[-1]:
             with self.timer.phase("upload"):
-                # All query-shape tables are padded to power-of-two lengths
-                # so similar-size queries reuse compiled kernels (see
-                # _pad_pow2_1d).  Padding entries are never selected: valid
-                # candidate masks and row_valid gate everything, and all
-                # index arithmetic is clipped in-range on device.
-                i32p = lambda a, fill=0: jnp.asarray(
-                    _pad_pow2_1d(np.asarray(a, np.int32), fill)
-                )
                 cnt_k = (Ccum[1:] - Ccum[:-1]).astype(np.int64)
                 t_of_gc = np.repeat(
                     np.arange(len(cnt_k), dtype=np.int32), cnt_k
@@ -357,165 +464,64 @@ class TpuEngine:
                     )
                 )
                 d_dp = self._packed_db_rows(window)
-                d_qlen = i32p(qlens, 2)
+                d_qlen = jnp.asarray(
+                    _pad_pow2_1d(np.asarray(qlens, np.int32), 2)
+                )
                 d_dlen = self._d_dlen
-                tables = RoundTables(
-                    Ccum=i32p(Ccum, int(Ccum[-1])),
-                    t_of_gc=i32p(t_of_gc),
-                    lo=i32p(lo),
-                    kp=i32p(kp),
-                    C_off=i32p(C_off[:n]),
-                    N_r=i32p(N_r),
-                    idx_pos=self._d_idx_pos,
-                    idx_sid=self._d_idx_sid,
-                    q_start=i32p(q.start),
-                    db_start=self._d_db_start,
-                    qlen=d_qlen,
-                    dlen=d_dlen,
-                    qp=d_qp,
-                    dp=d_dp,
-                    thr=jnp.asarray(
-                        _pad_pow2_1d(thr, np.iinfo(np.int32).max)
-                    ),
+            q_start = q.start.astype(np.int64)
+
+            def build_flat(read_ids, from_rank, to_rank):
+                """Flat (gcs, rids) arrays for ranks [from, to) per read,
+                read-major, stream order."""
+                lens = (to_rank - from_rank).astype(np.int64)
+                total = int(lens.sum())
+                rids = np.repeat(read_ids, lens)
+                base = np.repeat(C_off[read_ids] + from_rank, lens)
+                off = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.concatenate(([0], np.cumsum(lens)[:-1])), lens
                 )
+                return base + off, rids
 
-        with self.timer.phase("resolve"):
-            round_i = 0
-            while tables is not None:
-                active_all = np.flatnonzero(~resolved & (next_g < N_r))
-                if len(active_all) == 0:
-                    break
-                sched = cfg.cands_schedule
-                R, A_blk = sched[min(round_i, len(sched) - 1)]
-                round_i += 1
-
-                # --- extension gate: all active reads, window of R ---
-                passes_parts = []
-                pending = []
+            def run_stage(read_ids, from_rank, to_rank):
+                gcs, rids = build_flat(read_ids, from_rank, to_rank)
+                self._n_cands += len(gcs)
                 with self.timer.phase("resolve.extend"):
-                    for i0 in range(0, len(active_all), A_blk):
-                        sl = active_all[i0 : i0 + A_blk]
-                        A = len(sl)
-                        A_pad = A_blk  # fixed shape: one compile per (R, A)
-                        act = np.zeros(A_pad, np.int64)
-                        act[:A] = sl
-                        row_valid = np.zeros(A_pad, bool)
-                        row_valid[:A] = True
-                        self._n_cands += int(
-                            np.minimum(
-                                np.maximum(N_r[sl] - next_g[sl], 0), R
-                            ).sum()
+                    passes = self._gate(
+                        gcs, rids, kp, lo, Ccum, t_of_gc, thr,
+                        d_qp, d_qlen, q_start, window,
+                    )
+                # group passing candidates by read, stream order preserved
+                pidx = np.flatnonzero(passes)
+                pass_lists: Dict[int, List[int]] = {}
+                if len(pidx):
+                    ts = t_of_gc[gcs[pidx]]
+                    sids = idx.sid[lo[ts] + gcs[pidx] - Ccum[ts]]
+                    for k in range(len(pidx)):
+                        pass_lists.setdefault(int(rids[pidx[k]]), []).append(
+                            int(sids[k])
                         )
-                        rr = candidate_round(
-                            tables,
-                            jnp.asarray(act.astype(np.int32)),
-                            jnp.asarray(next_g[act].astype(np.int32)),
-                            jnp.asarray(row_valid),
-                            R=R,
-                            window=window,
-                        )
-                        pending.append((A, rr))
-                    for A, rr in pending:
-                        # ascontiguousarray: device arrays can come back
-                        # with padded strides; .view() needs contiguity.
-                        pb = np.ascontiguousarray(
-                            np.asarray(rr.pass_bits), dtype="<u4"
-                        )
-                        p = np.unpackbits(
-                            pb.view(np.uint8).reshape(pb.shape[0], -1),
-                            axis=1,
-                            bitorder="little",
-                        )[:A, :R].astype(bool)
-                        passes_parts.append(p)
-                passes = (
-                    np.vstack(passes_parts)
-                    if passes_parts
-                    else np.zeros((0, R), bool)
+                self._pick_and_align(
+                    pass_lists, qlens, rejected, resolved,
+                    accepted_records, d_qp, d_dp, d_qlen, d_dlen, cfg,
                 )
 
-                # --- stream-order pick + batched NW until decided ---
-                A_tot = len(active_all)
-                cursor = np.zeros(A_tot, np.int64)
-                undecided = passes.any(axis=1)
-                slots = np.arange(R)[None, :]
-                while True:
-                    sel = np.flatnonzero(undecided)
-                    if len(sel) == 0:
-                        break
-                    mask = passes[sel] & (slots >= cursor[sel, None])
-                    has = mask.any(axis=1)
-                    sel = sel[has]
-                    undecided[undecided] = False
-                    if len(sel) == 0:
-                        break
-                    first = (
-                        passes[sel] & (slots >= cursor[sel, None])
-                    ).argmax(axis=1)
-                    r_sel = active_all[sel]
-                    gcs = next_g[r_sel] + first + C_off[r_sel]
-                    ts = t_of_gc[gcs]
-                    sids = idx.sid[lo[ts] + gcs - Ccum[ts]]
-                    # rejected-pair exclusion (rare: only reads that had an
-                    # NW rejection): advance to the next passing slot whose
-                    # pair is still unknown.
-                    keep = np.ones(len(sel), bool)
-                    if rejected:
-                        for k in range(len(sel)):
-                            r = int(r_sel[k])
-                            rej = rejected.get(r)
-                            if rej is None or int(sids[k]) not in rej:
-                                continue
-                            m = int(first[k]) + 1
-                            row = passes[sel[k]]
-                            chosen = -1
-                            while m < R:
-                                if row[m]:
-                                    gc2 = int(next_g[r]) + m + int(C_off[r])
-                                    t2 = int(t_of_gc[gc2])
-                                    s2 = int(
-                                        idx.sid[int(lo[t2]) + gc2 - int(Ccum[t2])]
-                                    )
-                                    if s2 not in rej:
-                                        chosen = m
-                                        sids[k] = s2
-                                        break
-                                m += 1
-                            if chosen < 0:
-                                keep[k] = False
-                            else:
-                                first[k] = chosen
-                    sel, first, r_sel, sids = (
-                        sel[keep], first[keep], r_sel[keep], sids[keep]
+            with self.timer.phase("resolve"):
+                # Stage 1: first few candidates of every read (most reads
+                # accept their first candidate, mirroring the reference's
+                # early exit).  Stage 2: every remaining candidate of the
+                # reads stage 1 left unresolved.
+                F = cfg.first_window
+                all_reads = np.flatnonzero(N_r > 0)
+                run_stage(
+                    all_reads,
+                    np.zeros(len(all_reads), np.int64),
+                    np.minimum(N_r[all_reads], F),
+                )
+                tail = np.flatnonzero(~resolved & (N_r > F))
+                if len(tail):
+                    run_stage(
+                        tail, np.full(len(tail), F, np.int64), N_r[tail]
                     )
-                    if len(sel) == 0:
-                        break
-                    cursor[sel] = first
-                    with self.timer.phase("resolve.nw"):
-                        results = self._run_nw_pairs(
-                            r_sel, sids.astype(np.int64), qlens,
-                            d_qp, d_dp, d_qlen, d_dlen,
-                        )
-                    for k, (length, idents, ylen, cdev, crow, nst) in enumerate(
-                        results
-                    ):
-                        r = int(r_sel[k])
-                        if (
-                            length / ylen >= cfg.min_coverage
-                            and idents / length >= cfg.min_identity
-                        ):
-                            resolved[r] = True
-                            accepted_records.append(
-                                AcceptedRead(
-                                    r, int(sids[k]), length, idents, ylen,
-                                    nst, chain_dev=cdev, chain_row=crow,
-                                )
-                            )
-                        else:
-                            rejected.setdefault(r, set()).add(int(sids[k]))
-                            k_row = sel[k]
-                            cursor[k_row] += 1
-                            undecided[k_row] = True
-                next_g[active_all] += R
 
         with self.timer.phase("render"):
             accepted_records.sort(key=lambda a: a.qread)
