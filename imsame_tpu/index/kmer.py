@@ -70,7 +70,10 @@ class KmerIndex:
         if self.bucket_start is None:
             n_keys = 4**FIXED_K
             counts = np.bincount(self.keys, minlength=n_keys)
-            self.bucket_start = np.zeros(n_keys + 1, np.int64)
+            # int32: halves the memory traffic of the two random gathers
+            # per query k-mer (the table is 67 MB; cache-resident slices
+            # matter more than the cumsum cost).
+            self.bucket_start = np.zeros(n_keys + 1, np.int32)
             np.cumsum(counts, out=self.bucket_start[1:])
 
     @property
@@ -123,19 +126,21 @@ def build_index(db: SeqInfo, k: int = FIXED_K) -> KmerIndex:
     keys = rolling_keys(db.codes, k)[starts] if len(starts) else np.empty(
         0, np.uint32
     )
-    pos = starts + k  # one past the last base (reference: src/IMSAME.c:247)
+    pos = (starts + k).astype(np.int32)  # one past the last base
+    # (reference: src/IMSAME.c:247)
     # sid: read containing the k-mer == read containing its first base.
-    sid = np.searchsorted(db.start, starts, side="right") - 1
-    # Sort by key asc, pos desc: one argsort of a composite uint64 (single
-    # radix pass; ~3x faster than np.lexsort on two keys).
-    composite = (keys.astype(np.uint64) << np.uint64(32)) | (
-        np.uint64(2**32 - 1) - pos.astype(np.uint64)
+    sid = (np.searchsorted(db.start, starts, side="right") - 1).astype(
+        np.int32
     )
-    order = np.argsort(composite, kind="stable")
+    # Sort by key asc, pos desc: entries are generated in ascending pos, so
+    # a *stable* sort of the reversed key array (numpy radix-sorts integer
+    # keys) yields descending pos within each key -- one 32-bit radix pass
+    # instead of a 64-bit composite sort.
+    order = len(keys) - 1 - np.argsort(keys[::-1], kind="stable")
     return KmerIndex(
         keys=keys[order],
-        pos=pos[order].astype(np.int64),
-        sid=sid[order].astype(np.int64),
+        pos=pos[order],
+        sid=sid[order],
         db_total_len=db.total_len,
         db_n_seqs=db.n_seqs,
     )

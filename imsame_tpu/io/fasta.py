@@ -213,7 +213,6 @@ def valid_db_kmer_starts(info: SeqInfo, k: int = FIXED_K) -> np.ndarray:
     if n < k:
         return np.empty(0, np.int64)
     freshcum = np.concatenate([[0], np.cumsum(info.fresh)])
-    p = np.arange(0, n - k + 1, dtype=np.int64)
-    # count of fresh flags in [p+1, p+k-1]
-    resets_inside = freshcum[p + k] - freshcum[p + 1]
-    return p[resets_inside == 0]
+    # count of fresh flags in [p+1, p+k-1] for every p, via slices
+    resets_inside = freshcum[k : n + 1] - freshcum[1 : n - k + 2]
+    return np.flatnonzero(resets_inside == 0).astype(np.int64)

@@ -330,7 +330,12 @@ class TpuEngine:
         pos = 0
         while pos < N:
             rem = N - pos
-            size = next((z for z in reversed(sizes) if z >= rem), sizes[0])
+            # Cheapest covering plan: the smallest size whose repetition
+            # count doesn't exceed a single larger chunk's padded slots.
+            size = sizes[0]
+            for z in sizes[1:]:
+                if -(-rem // z) * z <= size:
+                    size = z
             take = min(rem, size)
             rpad = np.zeros(size, np.int32)
             hpad = np.zeros(size, np.int32)
