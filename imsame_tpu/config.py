@@ -51,6 +51,8 @@ class Config:
     # (chunks pad up to exactly this; bp memory is ~0.5 MB/pair at the
     # 256-bucket, so 2048 pairs ~= 1 GB HBM).
     nw_batch: int = 2048
+    # Small NW batch for the short rejection-retry rounds.
+    nw_batch_small: int = 256
     # Length buckets (reads padded up to the smallest bucket >= their len).
     length_buckets: tuple = (128, 256, 512, 1024, 2048, 3072)
     # Use the Pallas NW kernel when on TPU; fall back to pure-jnp otherwise.

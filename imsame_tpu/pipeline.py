@@ -269,7 +269,13 @@ class TpuEngine:
         for L, idxs in by_bucket.items():
             for c0 in range(0, len(idxs), self.cfg.nw_batch):
                 chunk = idxs[c0 : c0 + self.cfg.nw_batch]
-                B = self.cfg.nw_batch  # fixed shape: one compile per L
+                # Two fixed shapes per L: the big batch and a small one for
+                # the short rejection-retry rounds (each compiled shape is
+                # one slow XLA compile; a mostly-padding big batch wastes
+                # ~150 ms of device time per round).
+                B = self.cfg.nw_batch
+                if len(chunk) <= self.cfg.nw_batch_small:
+                    B = self.cfg.nw_batch_small
                 rpad = np.zeros(B, np.int32)
                 spad = np.zeros(B, np.int32)
                 rpad[: len(chunk)] = r_ids[chunk]
@@ -288,11 +294,15 @@ class TpuEngine:
                 )
                 pending.append((chunk, res))
 
-        for chunk, res in pending:
-            lengths = np.asarray(res.length)
-            idents = np.asarray(res.identities)
-            ylen = np.asarray(res.ylen)
-            nsteps = np.asarray(res.n_steps)
+        # One synchronization for every chunk's stats (a device round trip
+        # costs ~30 ms behind the tunnel; per-array fetches would pay it
+        # 4x per chunk).  Chains stay on device, fetched lazily.
+        flat = jax.device_get(
+            [a for _, res in pending
+             for a in (res.length, res.identities, res.ylen, res.n_steps)]
+        )
+        for ci, (chunk, res) in enumerate(pending):
+            lengths, idents, ylen, nsteps = flat[4 * ci : 4 * ci + 4]
             for b, i in enumerate(chunk):
                 out[i] = (
                     int(lengths[b]),
@@ -363,8 +373,9 @@ class TpuEngine:
             )
             pending.append((pos, take, size, bits))
             pos += take
-        for pos, take, size, bits in pending:
-            pb = np.ascontiguousarray(np.asarray(bits), dtype="<u4")
+        fetched = jax.device_get([bits for _, _, _, bits in pending])
+        for (pos, take, size, _), pb in zip(pending, fetched):
+            pb = np.ascontiguousarray(pb, dtype="<u4")
             flat = np.unpackbits(
                 pb.view(np.uint8), bitorder="little"
             )[:size].astype(bool)
@@ -553,13 +564,15 @@ class TpuEngine:
                 continue
             key = id(rec.chain_dev)
             by_buf.setdefault(key, (rec.chain_dev, []))[1].append(rec)
-        for buf, recs in by_buf.values():
-            rows = jnp.asarray(
-                np.array([r.chain_row for r in recs], np.int32)
-            )
-            fetched = np.asarray(buf[rows])
+        picked = [
+            (buf[jnp.asarray(np.array([r.chain_row for r in recs], np.int32))],
+             recs)
+            for buf, recs in by_buf.values()
+        ]
+        fetched = jax.device_get([g for g, _ in picked])
+        for (_, recs), rows in zip(picked, fetched):
             for k, rec in enumerate(recs):
-                rec.chain = fetched[k]
+                rec.chain = rows[k]
 
     def render_report(self, q: SeqInfo, result: PipelineResult) -> bytes:
         """Byte-identical -out file content (records in read order, matching
