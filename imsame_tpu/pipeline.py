@@ -316,7 +316,7 @@ class TpuEngine:
 
     # ------------------------------------------------------------------
     def _gate(
-        self, gcs, rids, kp, lo, Ccum, t_of_gc, thr, d_qp, d_qlen, q_start,
+        self, gcs, rids, kp, lo, Ccum, thr, d_qp, d_qlen, q_start,
         window,
     ) -> np.ndarray:
         """Gate a flat candidate-rank list on device; returns bool[len(gcs)].
@@ -329,7 +329,11 @@ class TpuEngine:
         out = np.zeros(N, bool)
         if N == 0:
             return out
-        ts = t_of_gc[gcs]
+        # rank -> owning k-mer slot: binary search in the cumulative
+        # bucket counts (gcs is sorted, so the search is cache-friendly;
+        # a materialized repeat table would be O(total candidates) memory,
+        # unaffordable for million-read samples)
+        ts = np.searchsorted(Ccum, gcs, side="right") - 1
         hits = (lo[ts] + gcs - Ccum[ts]).astype(np.int32)
         qoffs = (kp[ts] + FIXED_K - q_start[rids]).astype(np.int32)
         thrc = thr[rids]
@@ -470,10 +474,6 @@ class TpuEngine:
 
         if idx.n_entries and n and Ccum[-1]:
             with self.timer.phase("upload"):
-                cnt_k = (Ccum[1:] - Ccum[:-1]).astype(np.int64)
-                t_of_gc = np.repeat(
-                    np.arange(len(cnt_k), dtype=np.int32), cnt_k
-                )
                 d_qp = jnp.asarray(
                     _pad_pow2_rows(
                         pack_read_rows(q.codes, q.start, qlens, window)
@@ -503,14 +503,14 @@ class TpuEngine:
                 self._n_cands += len(gcs)
                 with self.timer.phase("resolve.extend"):
                     passes = self._gate(
-                        gcs, rids, kp, lo, Ccum, t_of_gc, thr,
+                        gcs, rids, kp, lo, Ccum, thr,
                         d_qp, d_qlen, q_start, window,
                     )
                 # group passing candidates by read, stream order preserved
                 pidx = np.flatnonzero(passes)
                 pass_lists: Dict[int, List[int]] = {}
                 if len(pidx):
-                    ts = t_of_gc[gcs[pidx]]
+                    ts = np.searchsorted(Ccum, gcs[pidx], side="right") - 1
                     sids = idx.sid[lo[ts] + gcs[pidx] - Ccum[ts]]
                     for k in range(len(pidx)):
                         pass_lists.setdefault(int(rids[pidx[k]]), []).append(

@@ -47,3 +47,15 @@ def test_cli_rejects_bad_thresholds():
     with pytest.raises(SystemExit):
         cli.config_from_args(p.parse_args(
             ["-query", "q", "-db", "d", "-evalue", "-1"]))
+
+
+def test_revcomp_cli(tmp_path):
+    from imsame_tpu import revcomp
+
+    fa = tmp_path / "in.fa"
+    fa.write_text(">a\nACGT\n>b\nTTnna\n")
+    out = tmp_path / "out.fa"
+    assert revcomp.main([str(fa), str(out)]) == 0
+    # reverse file order, complemented+reversed, one line per read
+    assert out.read_text() == ">b\ntnnAA\n>a\nACGT\n"
+    assert revcomp.main([str(fa)]) == 1
