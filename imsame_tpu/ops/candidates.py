@@ -26,6 +26,22 @@ import jax.numpy as jnp
 from .extend_packed import extend_packed
 
 
+def gate_core(
+    qp, dp, qlen, dlen, idx_pos, idx_sid, db_start, r, hit, qoff, thr,
+    *, window: int,
+):
+    """Unjitted gate body: candidate -> pass bool.  Shared by the
+    single-device flat_gate and the data-parallel sharded step
+    (parallel/sharded.py)."""
+    hit = jnp.clip(hit, 0, jnp.maximum(idx_pos.shape[0] - 1, 0))
+    s = idx_sid[hit]
+    doff = idx_pos[hit] - db_start[s]
+    res = extend_packed(
+        qp, dp, r, s, qoff, doff, qlen[r], dlen[s], thr, W=window
+    )
+    return res.passes
+
+
 @functools.partial(jax.jit, static_argnames=("window",))
 def flat_gate(
     qp: jax.Array,  # [n_q, WP] uint32 packed query rows
@@ -45,13 +61,10 @@ def flat_gate(
 ) -> jax.Array:
     """Returns pass bits packed 32 candidates per int32 word."""
     N = r.shape[0]
-    hit = jnp.clip(hit, 0, jnp.maximum(idx_pos.shape[0] - 1, 0))
-    s = idx_sid[hit]
-    doff = idx_pos[hit] - db_start[s]
-    res = extend_packed(
-        qp, dp, r, s, qoff, doff, qlen[r], dlen[s], thr, W=window
-    )
-    passes = res.passes & (jnp.arange(N, dtype=jnp.int32) < n_valid)
+    passes = gate_core(
+        qp, dp, qlen, dlen, idx_pos, idx_sid, db_start, r, hit, qoff, thr,
+        window=window,
+    ) & (jnp.arange(N, dtype=jnp.int32) < n_valid)
     bits = passes.reshape(N // 32, 32).astype(jnp.int32)
     weights = (jnp.int32(1) << jnp.arange(32, dtype=jnp.int32))[None, :]
     return jnp.sum(bits * weights, axis=1).astype(jnp.int32)

@@ -210,3 +210,100 @@ def replicated(mesh: Mesh, x):
 def data_sharded(mesh: Mesh, x):
     spec = P("data", *([None] * (x.ndim - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+# ----------------------------------------------------------------------
+# Production-kernel sharded stages (packed-row gate + fused NW resolve)
+# ----------------------------------------------------------------------
+
+def make_sharded_packed_gate(mesh: Mesh, window: int):
+    """Data-parallel flat candidate gate over the *production* packed-row
+    extension (ops/extend_packed.py via ops/candidates.gate_core):
+    candidate vectors sharded over 'data', packed read rows and index
+    payload replicated (they are the 'model').  Returns sharded pass
+    bools plus a psum'd pass count."""
+    from ..ops.candidates import gate_core
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(), P(), P(), P(),
+            P("data"), P("data"), P("data"), P("data"),
+        ),
+        out_specs=(P("data"), P(None)),
+        check_vma=False,
+    )
+    def step(qp, dp, qlen, dlen, idx_pos, idx_sid, db_start,
+             r, hit, qoff, thr):
+        passes = gate_core(
+            qp, dp, qlen, dlen, idx_pos, idx_sid, db_start,
+            r, hit, qoff, thr, window=window,
+        )
+        n_pass = jax.lax.psum(jnp.sum(passes.astype(jnp.int32)), "data")
+        return passes, n_pass[None]
+
+    return jax.jit(step)
+
+
+def make_sharded_nw_resolve(mesh: Mesh, max_len: int, use_pallas: bool):
+    """Data-parallel fused gather->NW->traceback (ops/resolve.py) over
+    read-pair index vectors sharded on 'data'; packed rows replicated.
+    Returns per-pair stats (sharded) and a psum'd coverage tally."""
+    from ..ops.resolve import nw_traceback_rows
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(),
+            P("data"), P("data"), P(), P(), P("data"),
+        ),
+        out_specs=(P("data"), P("data"), P("data"), P(None)),
+        check_vma=False,
+    )
+    def step(qp, dp, qlen, dlen, r, s, igap, egap, min_length):
+        res = nw_traceback_rows(
+            qp, dp, r, s, qlen, dlen, igap, egap,
+            max_len=max_len, use_pallas=use_pallas,
+        )
+        cov_ok = (res.length >= min_length).astype(jnp.int32)
+        n_cov = jax.lax.psum(jnp.sum(cov_ok), "data")
+        return res.length, res.identities, res.n_steps, n_cov[None]
+
+    return jax.jit(step)
+
+
+def make_production_compare_step(
+    mesh: Mesh, cap: int, window: int, max_len: int, use_pallas: bool = False
+):
+    """Full multi-chip compare step over the production kernels:
+
+      dict axis:  key-range-sharded k-mer lookup (psum-merged counts)
+      data axis:  packed-row extension gate, then fused NW + traceback
+      collectives: psum of pass counts and coverage tallies
+
+    This is the step dryrun_multichip compiles and executes; on real
+    hardware the same structure runs with use_pallas=True."""
+    lookup = make_dict_sharded_lookup(mesh, cap, 0)
+    gate = make_sharded_packed_gate(mesh, window)
+    nw = make_sharded_nw_resolve(mesh, max_len, use_pallas)
+
+    @jax.jit
+    def step(
+        keys_sh, q_keys,
+        qp, dp, qlen, dlen, idx_pos, idx_sid, db_start,
+        r_c, hit_c, qoff_c, thr_c,
+        r_p, s_p, igap, egap, min_length,
+    ):
+        counts, _ = lookup(keys_sh, q_keys)
+        passes, n_pass = gate(
+            qp, dp, qlen, dlen, idx_pos, idx_sid, db_start,
+            r_c, hit_c, qoff_c, thr_c,
+        )
+        lengths, idents, n_steps, n_cov = nw(
+            qp, dp, qlen, dlen, r_p, s_p, igap, egap, min_length
+        )
+        return counts, passes, n_pass, lengths, idents, n_steps, n_cov
+
+    return step

@@ -145,3 +145,12 @@ def test_sharded_nw_matches_single():
     assert int(np.asarray(kcells)[0]) == int(
         np.sum((xl.astype(np.int64) * yl) // 1024)
     )
+
+
+def test_production_compare_step_runs():
+    """The multichip dry-run step (production kernels under shard_map)
+    compiles and executes on the virtual mesh; gate results match the
+    single-device flat gate."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
