@@ -47,6 +47,11 @@ class Config:
     # compile, and compilation behind a tunneled TPU costs tens of
     # seconds, so shapes must be few and fixed.
     gate_chunks: tuple = (1 << 19, 1 << 16)
+    # First-tier extension window (bases).  Random candidates' walks die
+    # within a few mismatches, provably inside this window (the kernel
+    # flags exactness); only escapees re-run at the full read window.
+    # 0 disables the tier.
+    gate_window_small: int = 32
     # NW pairs per kernel invocation -- also one fixed compiled shape
     # (chunks pad up to exactly this; bp memory is ~0.5 MB/pair at the
     # 256-bucket, so 2048 pairs ~= 1 GB HBM).

@@ -30,8 +30,8 @@ def gate_core(
     qp, dp, qlen, dlen, idx_pos, idx_sid, db_start, r, hit, qoff, thr,
     *, window: int,
 ):
-    """Unjitted gate body: candidate -> pass bool.  Shared by the
-    single-device flat_gate and the data-parallel sharded step
+    """Unjitted gate body: candidate -> (pass bool, exact bool).  Shared
+    by the single-device flat_gate and the data-parallel sharded step
     (parallel/sharded.py)."""
     hit = jnp.clip(hit, 0, jnp.maximum(idx_pos.shape[0] - 1, 0))
     s = idx_sid[hit]
@@ -39,7 +39,7 @@ def gate_core(
     res = extend_packed(
         qp, dp, r, s, qoff, doff, qlen[r], dlen[s], thr, W=window
     )
-    return res.passes
+    return res.passes, res.exact
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
@@ -59,12 +59,15 @@ def flat_gate(
     *,
     window: int,
 ) -> jax.Array:
-    """Returns pass bits packed 32 candidates per int32 word."""
+    """Returns pass and exactness bits, each packed 32 candidates per
+    int32 word, stacked as [2, N//32] (row 0 = pass, row 1 = exact)."""
     N = r.shape[0]
-    passes = gate_core(
+    passes, exact = gate_core(
         qp, dp, qlen, dlen, idx_pos, idx_sid, db_start, r, hit, qoff, thr,
         window=window,
-    ) & (jnp.arange(N, dtype=jnp.int32) < n_valid)
-    bits = passes.reshape(N // 32, 32).astype(jnp.int32)
-    weights = (jnp.int32(1) << jnp.arange(32, dtype=jnp.int32))[None, :]
-    return jnp.sum(bits * weights, axis=1).astype(jnp.int32)
+    )
+    valid = jnp.arange(N, dtype=jnp.int32) < n_valid
+    stacked = jnp.stack([passes & valid, exact])  # [2, N]
+    bits = stacked.reshape(2, N // 32, 32).astype(jnp.int32)
+    weights = (jnp.int32(1) << jnp.arange(32, dtype=jnp.int32))[None, None, :]
+    return jnp.sum(bits * weights, axis=2).astype(jnp.int32)

@@ -75,6 +75,10 @@ class ExtendPackedResult(NamedTuple):
     passes: jax.Array  # [N] bool e-value gate
     t_len: jax.Array  # [N] int32 (diagnostics)
     idents: jax.Array  # [N] int32 (diagnostics)
+    exact: jax.Array  # [N] bool: both walks terminated inside the window
+    # (score died or read bound hit), so the result equals any larger-W
+    # run.  Enables a cheap small-window first tier that escalates only
+    # the rare candidates whose walks outrun it (pipeline._gate).
 
 
 def _first_true(mask: jax.Array, size: int) -> jax.Array:
@@ -182,6 +186,18 @@ def extend_packed(
     t_len = (end_row - start_row).astype(jnp.int32)
     raw = (2 * idents - t_len) * POINT
 
+    # A walk is fully determined inside the window iff it stopped for a
+    # real reason (read bound: lim < W, or score death: first_np < W)
+    # rather than running out of window.  The backward walk seeds its
+    # running score from the forward watermark, so forward exactness is
+    # required for backward exactness (covered by the conjunction).
+    fwd_exact = (flim < W) | (first_np < W)
+    bwd_exact = (blim < W) | (first_np2 < W)
+
     return ExtendPackedResult(
-        raw=raw, passes=raw >= raw_min, t_len=t_len, idents=idents
+        raw=raw,
+        passes=raw >= raw_min,
+        t_len=t_len,
+        idents=idents,
+        exact=fwd_exact & bwd_exact,
     )

@@ -236,7 +236,7 @@ def make_sharded_packed_gate(mesh: Mesh, window: int):
     )
     def step(qp, dp, qlen, dlen, idx_pos, idx_sid, db_start,
              r, hit, qoff, thr):
-        passes = gate_core(
+        passes, _exact = gate_core(
             qp, dp, qlen, dlen, idx_pos, idx_sid, db_start,
             r, hit, qoff, thr, window=window,
         )

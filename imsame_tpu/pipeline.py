@@ -323,8 +323,9 @@ class TpuEngine:
 
         Host maps global candidate ranks to (index hit row, query row
         offset) from its own stream tables; the device only sees three
-        int32 vectors per chunk.  Chunks pad to a few fixed power-of-two
-        sizes (each distinct shape is one slow XLA compile)."""
+        int32 vectors per chunk.  Two tiers: a small window first (random
+        candidates' walks provably terminate inside it, flagged exact),
+        then the full window only for the rare escapees."""
         N = len(gcs)
         out = np.zeros(N, bool)
         if N == 0:
@@ -339,6 +340,29 @@ class TpuEngine:
         thrc = thr[rids]
         rids32 = rids.astype(np.int32)
 
+        w_small = self.cfg.gate_window_small
+        if w_small and w_small < window:
+            p1, e1 = self._gate_chunks(
+                rids32, hits, qoffs, thrc, d_qp, d_qlen, w_small
+            )
+            out[:] = p1
+            esc = np.flatnonzero(~e1)
+            if len(esc):
+                p2, _ = self._gate_chunks(
+                    rids32[esc], hits[esc], qoffs[esc], thrc[esc],
+                    d_qp, d_qlen, window,
+                )
+                out[esc] = p2
+        else:
+            out[:], _ = self._gate_chunks(
+                rids32, hits, qoffs, thrc, d_qp, d_qlen, window
+            )
+        return out
+
+    def _gate_chunks(self, rids32, hits, qoffs, thrc, d_qp, d_qlen, window):
+        """Dispatch fixed-shape gate chunks; one device round trip for all
+        results.  Returns (passes, exact) bool arrays."""
+        N = len(rids32)
         sizes = sorted(self.cfg.gate_chunks, reverse=True)
         pending = []
         pos = 0
@@ -362,7 +386,7 @@ class TpuEngine:
             tpad[:take] = thrc[sl]
             bits = flat_gate(
                 d_qp,
-                self._dp_cache[window],
+                self._dp_cache[self._row_len],
                 d_qlen,
                 self._d_dlen,
                 self._d_idx_pos,
@@ -377,14 +401,17 @@ class TpuEngine:
             )
             pending.append((pos, take, size, bits))
             pos += take
+        passes = np.zeros(N, bool)
+        exact = np.zeros(N, bool)
         fetched = jax.device_get([bits for _, _, _, bits in pending])
         for (pos, take, size, _), pb in zip(pending, fetched):
             pb = np.ascontiguousarray(pb, dtype="<u4")
             flat = np.unpackbits(
-                pb.view(np.uint8), bitorder="little"
-            )[:size].astype(bool)
-            out[pos : pos + take] = flat[:take]
-        return out
+                pb.view(np.uint8).reshape(2, -1), axis=1, bitorder="little"
+            )[:, :size].astype(bool)
+            passes[pos : pos + take] = flat[0, :take]
+            exact[pos : pos + take] = flat[1, :take]
+        return passes, exact
 
     def _pick_and_align(
         self,
@@ -467,6 +494,7 @@ class TpuEngine:
         if db.n_seqs:
             max_rl = max(max_rl, int(self.db_read_lens.max()))
         window = self._nw_bucket(max_rl)
+        self._row_len = window
 
         resolved = np.zeros(n, bool)
         rejected: Dict[int, Set[int]] = {}

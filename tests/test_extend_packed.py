@@ -111,3 +111,55 @@ def test_pack_read_rows_layout():
             assert got == codes[start[i] + b]
     # padding past the read length is zero
     assert (rows[0, 1:] == 0).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_exactness_flag(seed):
+    """Candidates flagged exact at W=32 must produce identical results at
+    the full window; the flag must be common (it powers the cheap tier)."""
+    rng = random.Random(seed)
+    qi, di = _mk_seqinfos(rng, n=40)
+    idx = build_index(di)
+
+    cands = []
+    for r in range(qi.n_seqs):
+        s, e = int(qi.start[r]), qi.read_end(r)
+        for p in range(s, e - FIXED_K + 1):
+            key = int(pack_kmers(qi.codes, np.array([p], dtype=np.int64))[0])
+            lo, hi = idx.lookup_range(key)
+            for h in range(lo, hi):
+                cands.append((int(idx.pos[h]), p + FIXED_K, r, int(idx.sid[h])))
+    assert cands
+    pos_db = np.array([c[0] for c in cands], np.int32)
+    pos_q = np.array([c[1] for c in cands], np.int32)
+    reads = np.array([c[2] for c in cands], np.int64)
+    sids = np.array([c[3] for c in cands], np.int64)
+    thr = raw_score_threshold(qi.read_lens(), di.total_len, 1e-20)
+    raw_min = thr[reads].astype(np.int32)
+    qlens = qi.read_lens()
+    dlens = di.read_lens()
+    W = 128
+    qp = jnp.asarray(pack_read_rows(qi.codes, qi.start, qlens, W))
+    dp = jnp.asarray(pack_read_rows(di.codes, di.start, dlens, W))
+    args = (
+        qp, dp,
+        jnp.asarray(reads.astype(np.int32)), jnp.asarray(sids.astype(np.int32)),
+        jnp.asarray(pos_q - qi.start[reads].astype(np.int32)),
+        jnp.asarray(pos_db - di.start[sids].astype(np.int32)),
+        jnp.asarray(qlens[reads].astype(np.int32)),
+        jnp.asarray(dlens[sids].astype(np.int32)),
+        jnp.asarray(raw_min),
+    )
+    small = extend_packed(*args, W=32)
+    full = extend_packed(*args, W=W)
+    ex = np.asarray(small.exact)
+    np.testing.assert_array_equal(
+        np.asarray(small.passes)[ex], np.asarray(full.passes)[ex]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(small.raw)[ex], np.asarray(full.raw)[ex]
+    )
+    # Some candidates must be decidable in the small window (true-pair
+    # hits legitimately outrun it; the tier's payoff on random-dominated
+    # workloads is covered by the pipeline parity tests + bench).
+    assert ex.any() and (~ex).any()
