@@ -62,6 +62,9 @@ class Config:
     length_buckets: tuple = (128, 256, 512, 1024, 2048, 3072)
     # Use the Pallas NW kernel when on TPU; fall back to pure-jnp otherwise.
     use_pallas: Optional[bool] = None  # None = auto-detect
+    # When set, each compare() is wrapped in a jax.profiler trace written
+    # here (open with TensorBoard / xprof; SURVEY.md 5.1).
+    profile_dir: Optional[str] = None
 
     def validate(self) -> None:
         if self.min_e_value < 0:

@@ -104,6 +104,7 @@ class AllVsAllRunner:
         Jobs whose output file already exists are skipped (resume)."""
         jobs = make_jobs(samples)
         stats: Dict[str, dict] = {}
+        failures: Dict[str, str] = {}
         for k, job in enumerate(jobs):
             if k % self.n_hosts != self.host_id:
                 continue
@@ -114,10 +115,16 @@ class AllVsAllRunner:
                     stats[job.out_name] = json.loads(stats_path.read_text())
                 continue
             t0 = time.perf_counter()
-            q = self._load_query(job)
-            eng = self._engine_for(job)
-            res = eng.compare(q)
-            report = eng.render_report(q, res)
+            try:
+                q = self._load_query(job)
+                eng = self._engine_for(job)
+                res = eng.compare(q)
+                report = eng.render_report(q, res)
+            except Exception as e:  # failure isolation: one bad pair must
+                # not kill the sweep; the missing output file marks the
+                # job for retry on the next (resumed) run.
+                failures[job.out_name] = f"{type(e).__name__}: {e}"
+                continue
             tmp = out_path.with_suffix(out_path.suffix + ".tmp")
             tmp.write_bytes(report)
             os.replace(tmp, out_path)  # atomic completion marker
@@ -137,6 +144,10 @@ class AllVsAllRunner:
             tmp_s.write_text(json.dumps(entry))
             os.replace(tmp_s, stats_path)
             stats[job.out_name] = entry
+        if failures:
+            fp = self.outdir / f"failures.host{self.host_id}.json"
+            fp.write_text(json.dumps(failures, indent=1))
+        self.failures = failures
         return stats
 
 

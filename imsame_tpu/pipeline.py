@@ -473,6 +473,12 @@ class TpuEngine:
 
     # ------------------------------------------------------------------
     def compare(self, q: SeqInfo) -> PipelineResult:
+        if self.cfg.profile_dir:
+            with jax.profiler.trace(self.cfg.profile_dir):
+                return self._compare(q)
+        return self._compare(q)
+
+    def _compare(self, q: SeqInfo) -> PipelineResult:
         cfg = self.cfg
         db = self.db
         idx = self.index

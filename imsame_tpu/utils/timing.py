@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import contextlib
 import time
+
+import jax
 from collections import defaultdict
 from typing import Dict, Iterator, Tuple
 
@@ -19,7 +21,8 @@ class PhaseTimer:
     def phase(self, name: str) -> Iterator[None]:
         t0 = time.perf_counter()
         try:
-            yield
+            with jax.profiler.TraceAnnotation(name):
+                yield
         finally:
             self._acc[name] += time.perf_counter() - t0
 

@@ -111,3 +111,33 @@ def test_host_striping_partitions_jobs(tmp_path):
     s1 = AllVsAllRunner(str(out1), Config(), host_id=1, n_hosts=2).run(samples)
     assert set(s0) | set(s1) == {j.out_name for j in make_jobs(samples)}
     assert not (set(s0) & set(s1))
+
+
+def test_failure_isolation(tmp_path):
+    """A pair job that raises must not kill the sweep; it's recorded and
+    left for the next (resumed) run."""
+    import json
+
+    from imsame_tpu.orchestrator import AllVsAllRunner, list_samples
+
+    d = tmp_path / "samples"
+    d.mkdir()
+    (d / "a.fasta").write_text(">r0\nACGTACGTACGTACGTACGT\n")
+    (d / "b.fasta").write_text(">r0\nACGTACGTACGTACGTACGT\n")
+    out = tmp_path / "out"
+    runner = AllVsAllRunner(str(out))
+    orig = runner._engine_for
+
+    def boom(job):
+        if job.reverse:
+            raise RuntimeError("injected device failure")
+        return orig(job)
+
+    runner._engine_for = boom
+    stats = runner.run(list_samples(str(d), "fasta"))
+    assert "a-b.align" in stats  # forward job completed
+    assert "a-b.r.align" not in stats  # reverse job failed, not silently ok
+    assert "a-b.r.align" in runner.failures
+    failp = out / "failures.host0.json"
+    assert json.loads(failp.read_text())["a-b.r.align"].startswith("RuntimeError")
+    assert not (out / "a-b.r.align").exists()  # eligible for resume/retry
