@@ -46,10 +46,22 @@ def backtrack_from_chain(
         rec_y[head_y] = _DASH
         head_y -= 1
 
+    RUN_FLAG = 1 << 26
     curr_x, curr_y = bc_x, bc_y
     for step in range(1, n_steps + 1):
-        curr_x, curr_y = int(chain[step]) // PACK, int(chain[step]) % PACK
-        if curr_x == prev_x - 1 and curr_y == prev_y - 1:
+        entry = int(chain[step])
+        is_run = bool(entry & RUN_FLAG)
+        entry &= RUN_FLAG - 1
+        curr_x, curr_y = entry // PACK, entry % PACK
+        if is_run:
+            # diagonal-run jump: expand char-by-char, exactly the diag
+            # branch repeated (prev - curr) times
+            for k in range(prev_x - curr_x):
+                rec_x[head_x] = x_chars[prev_x - k]
+                head_x -= 1
+                rec_y[head_y] = y_chars[prev_y - k]
+                head_y -= 1
+        elif curr_x == prev_x - 1 and curr_y == prev_y - 1:
             rec_x[head_x] = x_chars[prev_x]
             head_x -= 1
             rec_y[head_y] = y_chars[prev_y]

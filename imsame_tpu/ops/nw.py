@@ -51,9 +51,19 @@ from ..constants import POINT
 NEG = jnp.int32(-(2**28))  # "minus infinity" safe against int32 overflow
 PACK = 4096  # coordinate packing base; MAX_READ_SIZE=3000 < 4096
 
+# Backpointer word layout (int32): bits 0-23 = xfrom*PACK+yfrom (< 2^24
+# since coords < 3072), bits 24-27 = length of the diagonal-move run
+# ending at this cell (capped at RUN_CAP, 0 for gap moves), bits 28-31 =
+# matches within that run.  The run fields let the traceback jump whole
+# diagonal runs per iteration (the while-loop's serial latency dominates
+# otherwise) while staying bit-equivalent.  -1 stays the no-cell
+# sentinel: its low 24 bits decode to coords >= 3072, unreachable.
+RUN_CAP = 15
+BP_MASK = jnp.int32(0x00FFFFFF)
+
 
 class NWResult(NamedTuple):
-    bp: jax.Array  # [B, 2L-1, L] int32, xfrom*4096+yfrom, -1 = no cell
+    bp: jax.Array  # [B, 2L-1, L] int32 packed words (see layout above)
     best_score: jax.Array  # [B] int32
     best_i: jax.Array  # [B] int32
     best_j: jax.Array  # [B] int32
@@ -91,7 +101,8 @@ def nw_forward_batch(
     ZCOL = jnp.zeros((B, 1), jnp.int32)
 
     def body(d, carry):
-        (s1, s2, s3, mf_s, mf_x, mf_y, mc_s, mc_x, yd, bs, bi, bj, bp) = carry
+        (s1, s2, s3, rn1, rn2, mr1, mr2,
+         mf_s, mf_x, mf_y, mc_s, mc_x, yd, bs, bi, bj, bp) = carry
         d = jnp.int32(d)
         j_idx = d - i_idx  # [1, L] column per row on this diagonal
 
@@ -134,6 +145,20 @@ def nw_forward_batch(
             pick_diag, j_idx - 1, jnp.where(pick_right, j_idx - 1, mf_y)
         )
 
+        # Diagonal-run tracking for the jumping traceback: cell (i-1,j-1)
+        # lives on diagonal d-2 at row i-1.
+        match_i = jnp.where(Xc == yd, 1, 0)
+        run_prev = _shift1(rn2, 0)
+        mr_prev = _shift1(mr2, 0)
+        is_diag = pick_diag & inner
+        capped = run_prev == RUN_CAP
+        run_cur = jnp.where(
+            is_diag, jnp.where(capped, 1, run_prev + 1), 0
+        )
+        mr_cur = jnp.where(
+            is_diag, jnp.where(capped, match_i, mr_prev + match_i), 0
+        )
+
         # Border cells (i==0 or j==0) score +/-POINT with no gap moves.
         border = valid & ((i_idx == 0) | (j_idx == 0))
         cell = jnp.where(border, s_pm, cell)
@@ -171,13 +196,18 @@ def nw_forward_batch(
         bi = jnp.where(take, di, bi)
         bj = jnp.where(take, d - di, bj)
 
-        # --- backpointers for this diagonal ---
-        bp_d = jnp.where(inner, xfrom * PACK + yfrom, jnp.int32(-1))
+        # --- backpointers for this diagonal (packed with run fields) ---
+        bp_d = jnp.where(
+            inner,
+            (xfrom * PACK + yfrom) | (run_cur << 24) | (mr_cur << 28),
+            jnp.int32(-1),
+        )
         zero = jnp.int32(0)
         bp = jax.lax.dynamic_update_slice(bp, bp_d[:, None, :], (zero, d, zero))
 
         # Rotate score diagonals: next (d-1, d-2, d-3) = (d, d-1, d-2).
-        return (s0, s1, s2, mf_s, mf_x, mf_y, mc_s, mc_x, yd, bs, bi, bj, bp)
+        return (s0, s1, s2, run_cur, rn1, mr_cur, mr1,
+                mf_s, mf_x, mf_y, mc_s, mc_x, yd, bs, bi, bj, bp)
 
     z = lambda: jnp.full((B, L), NEG, jnp.int32)
     zi = lambda: jnp.zeros((B, L), jnp.int32)
@@ -185,6 +215,10 @@ def nw_forward_batch(
         z(),  # s1: diag d-1 (passed through one step)
         z(),  # s2: diag d-2
         z(),  # s3: diag d-3
+        zi(),  # rn1: diag-run lengths of d-1
+        zi(),  # rn2: diag-run lengths of d-2
+        zi(),  # mr1: run match counts of d-1
+        zi(),  # mr2: run match counts of d-2
         z(),  # mf_s
         zi(),  # mf_x
         zi(),  # mf_y
@@ -197,5 +231,5 @@ def nw_forward_batch(
         jnp.full((B, ND, L), -1, jnp.int32),  # bp
     )
     out = jax.lax.fori_loop(0, ND, body, init)
-    (_, _, _, _, _, _, _, _, _, bs, bi, bj, bp) = out
+    bs, bi, bj, bp = out[-4], out[-3], out[-2], out[-1]
     return NWResult(bp=bp, best_score=bs, best_i=bi, best_j=bj)

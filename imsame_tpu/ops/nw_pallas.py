@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import POINT
-from .nw import NWResult, PACK
+from .nw import NWResult, PACK, RUN_CAP
 
 NEG = -(2 ** 28)  # python int: pallas kernels cannot capture jax scalars
 
@@ -56,6 +56,7 @@ def _make_nw_kernel(max_len: int):
                bp_ref, bs_ref, bi_ref, bj_ref,
                s1_ref, s2_ref, s3_ref, mfs_ref, mfx_ref, mfy_ref,
                mcs_ref, mcx_ref, yd_ref, xf_ref, yf_ref,
+               rn1_ref, rn2_ref, mr1_ref, mr2_ref,
                cbs_ref, cbi_ref, cbj_ref):
         dbase = pl.program_id(1) * jnp.int32(UNROLL)
         igap = igap_ref[0, 0]
@@ -83,6 +84,10 @@ def _make_nw_kernel(max_len: int):
             s1_ref[:] = neg
             s2_ref[:] = neg
             s3_ref[:] = neg
+            rn1_ref[:] = zero
+            rn2_ref[:] = zero
+            mr1_ref[:] = zero
+            mr2_ref[:] = zero
             mfs_ref[:] = neg
             mfx_ref[:] = zero
             mfy_ref[:] = zero
@@ -158,6 +163,23 @@ def _make_nw_kernel(max_len: int):
             cell = jnp.where(border, s_pm, cell)
             s0 = jnp.where(valid, cell, NEG32)
 
+            # diagonal-run tracking (see ops/nw.py BP word layout)
+            match_i = jnp.where(xc == yd, jnp.int32(1), Z32)
+            run_prev = shift1(rn2_ref[:], Z32)
+            mr_prev = shift1(mr2_ref[:], Z32)
+            is_diag = pick_diag & inner
+            capped = run_prev == jnp.int32(RUN_CAP)
+            run_cur = jnp.where(
+                is_diag, jnp.where(capped, jnp.int32(1), run_prev + 1), Z32
+            )
+            mr_cur = jnp.where(
+                is_diag, jnp.where(capped, match_i, mr_prev + match_i), Z32
+            )
+            rn2_ref[:] = rn1_ref[:]
+            rn1_ref[:] = run_cur
+            mr2_ref[:] = mr1_ref[:]
+            mr1_ref[:] = mr_cur
+
             # mc update (after the cell), strict >, from two rows up
             mc_upd = inner & (lane >= 2) & (j_idx >= 2) & (t_im2_jm1 > mc_s)
             mc_s = jnp.where(mc_upd, t_im2_jm1, mc_s)
@@ -206,7 +228,11 @@ def _make_nw_kernel(max_len: int):
             bj_ref[:] = bj
 
             bp_rows.append(jnp.where(
-                inner, xfrom * jnp.int32(PACK) + yfrom, jnp.int32(-1)
+                inner,
+                (xfrom * jnp.int32(PACK) + yfrom)
+                | (run_cur << jnp.int32(24))
+                | (mr_cur << jnp.int32(28)),
+                jnp.int32(-1),
             ))
             # rotate score diagonals
             s3_ref[:] = s2
@@ -236,7 +262,7 @@ def nw_forward_batch_pallas(
     grid = (B // BBLK, NDP // UNROLL)  # d innermost: sequential wavefront
 
     kernel = _make_nw_kernel(L)
-    scr = [pltpu.VMEM((BBLK, L), jnp.int32)] * 11 + [
+    scr = [pltpu.VMEM((BBLK, L), jnp.int32)] * 15 + [
         pltpu.VMEM((BBLK, 1), jnp.int32)
     ] * 3
     out_shape = (

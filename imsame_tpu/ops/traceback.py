@@ -25,7 +25,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .nw import PACK
+from .nw import BP_MASK, PACK
+
+# Chain entries for diagonal-run jumps carry this flag bit (coords use
+# 24 bits; bit 26 is free); io/reconstruct.py expands them char-by-char.
+RUN_FLAG = 1 << 26
 
 
 class TracebackResult(NamedTuple):
@@ -64,30 +68,38 @@ def traceback_batch(
         active = (px > 0) & (py > 0)
 
         flat_idx = jnp.clip((px + py) * L + px, 0, ND * L - 1)
-        frm = jnp.take_along_axis(bp_flat, flat_idx[:, None], axis=1)[:, 0]
-        fx = frm // PACK
-        fy = frm - fx * PACK
-
-        xc = jnp.take_along_axis(X, jnp.clip(px, 0, L - 1)[:, None], axis=1)[:, 0]
-        yc = jnp.take_along_axis(Y, jnp.clip(py, 0, L - 1)[:, None], axis=1)[:, 0]
+        word = jnp.take_along_axis(bp_flat, flat_idx[:, None], axis=1)[:, 0]
+        # decode the packed bp word (ops/nw.py layout): low 24 bits are
+        # the from-cell, bits 24-27 the diagonal-run length ending here,
+        # bits 28-31 the matches within that run.
+        frm = word & BP_MASK
+        run = (word >> 24) & 15
+        mrun = (word >> 28) & 15
+        gx = frm // PACK
+        gy = frm - gx * PACK
+        is_run = run > 0  # every chosen diagonal move carries run >= 1
+        fx = jnp.where(is_run, px - run, gx)
+        fy = jnp.where(is_run, py - run, gy)
 
         dx = px - fx
         dy = py - fy
-        is_diag = (dx == 1) & (dy == 1)
-        is_gapx = (~is_diag) & (dx > dy)
+        is_gapx = (~is_run) & (dx > dy)
 
-        add_len = jnp.where(is_diag, 1, jnp.where(is_gapx, dx, dy))
-        add_id = jnp.where(is_diag & (xc == yc), 1, 0)
-        add_ig = jnp.where(is_diag, 0, 1)
-        add_eg = jnp.where(is_diag, 0, jnp.where(is_gapx, dx - 1, dy - 1))
+        add_len = jnp.where(is_run, run, jnp.where(is_gapx, dx, dy))
+        add_id = jnp.where(is_run, mrun, 0)
+        add_ig = jnp.where(is_run, 0, 1)
+        add_eg = jnp.where(is_run, 0, jnp.where(is_gapx, dx - 1, dy - 1))
 
         length = jnp.where(active, length + add_len, length)
         ident = jnp.where(active, ident + add_id, ident)
         igaps = jnp.where(active, igaps + add_ig, igaps)
         egaps = jnp.where(active, egaps + add_eg, egaps)
 
+        entry = jnp.where(
+            is_run, (fx * PACK + fy) | jnp.int32(RUN_FLAG), fx * PACK + fy
+        )
         chain = chain.at[:, t + 1].set(
-            jnp.where(active, fx * PACK + fy, chain[:, t + 1])
+            jnp.where(active, entry, chain[:, t + 1])
         )
         px = jnp.where(active, fx, px)
         py = jnp.where(active, fy, py)

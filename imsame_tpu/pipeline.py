@@ -316,7 +316,7 @@ class TpuEngine:
 
     # ------------------------------------------------------------------
     def _gate(
-        self, gcs, rids, kp, lo, Ccum, thr, d_qp, d_qlen, q_start,
+        self, gcs, rids, ts, kp, lo, Ccum, thr, d_qp, d_qlen, q_start,
         window,
     ) -> np.ndarray:
         """Gate a flat candidate-rank list on device; returns bool[len(gcs)].
@@ -330,11 +330,6 @@ class TpuEngine:
         out = np.zeros(N, bool)
         if N == 0:
             return out
-        # rank -> owning k-mer slot: binary search in the cumulative
-        # bucket counts (gcs is sorted, so the search is cache-friendly;
-        # a materialized repeat table would be O(total candidates) memory,
-        # unaffordable for million-read samples)
-        ts = np.searchsorted(Ccum, gcs, side="right") - 1
         hits = (lo[ts] + gcs - Ccum[ts]).astype(np.int32)
         qoffs = (kp[ts] + FIXED_K - q_start[rids]).astype(np.int32)
         thrc = thr[rids]
@@ -521,35 +516,59 @@ class TpuEngine:
             q_start = q.start.astype(np.int64)
 
             def build_flat(read_ids, from_rank, to_rank):
-                """Flat (gcs, rids) arrays for ranks [from, to) per read,
-                read-major, stream order."""
-                lens = (to_rank - from_rank).astype(np.int64)
-                total = int(lens.sum())
-                rids = np.repeat(read_ids, lens)
-                base = np.repeat(C_off[read_ids] + from_rank, lens)
-                off = np.arange(total, dtype=np.int64) - np.repeat(
-                    np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+                """Flat (gcs, rids, ts) arrays for ranks [from, to) per
+                read, read-major, stream order.  The candidate -> k-mer
+                slot map ts comes from expanding each read's slot list by
+                its bucket counts and trimming the rank window -- all
+                vectorized (a per-candidate binary search costs seconds
+                at tens of millions of candidates)."""
+                # full candidate expansion of the selected reads
+                slot_lens = (K_off[read_ids + 1] - K_off[read_ids]).astype(
+                    np.int64
                 )
-                return base + off, rids
+                tot_slots = int(slot_lens.sum())
+                pre = np.concatenate(([0], np.cumsum(slot_lens)[:-1]))
+                slots = (
+                    np.repeat(K_off[read_ids], slot_lens)
+                    + np.arange(tot_slots, dtype=np.int64)
+                    - np.repeat(pre, slot_lens)
+                )
+                ts_full = np.repeat(slots, cnt[slots])
+                seg_lens = N_r[read_ids]
+                total_full = int(seg_lens.sum())
+                seg_pre = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+                pos = np.arange(total_full, dtype=np.int64) - np.repeat(
+                    seg_pre, seg_lens
+                )
+                keep = (pos >= np.repeat(from_rank, seg_lens)) & (
+                    pos < np.repeat(to_rank, seg_lens)
+                )
+                gcs = (np.repeat(C_off[read_ids], seg_lens) + pos)[keep]
+                rids = np.repeat(read_ids, seg_lens)[keep]
+                return gcs, rids, ts_full[keep]
 
             def run_stage(read_ids, from_rank, to_rank):
-                gcs, rids = build_flat(read_ids, from_rank, to_rank)
+                gcs, rids, ts_all = build_flat(read_ids, from_rank, to_rank)
                 self._n_cands += len(gcs)
                 with self.timer.phase("resolve.extend"):
                     passes = self._gate(
-                        gcs, rids, kp, lo, Ccum, thr,
+                        gcs, rids, ts_all, kp, lo, Ccum, thr,
                         d_qp, d_qlen, q_start, window,
                     )
                 # group passing candidates by read, stream order preserved
                 pidx = np.flatnonzero(passes)
                 pass_lists: Dict[int, List[int]] = {}
                 if len(pidx):
-                    ts = np.searchsorted(Ccum, gcs[pidx], side="right") - 1
+                    ts = ts_all[pidx]
                     sids = idx.sid[lo[ts] + gcs[pidx] - Ccum[ts]]
-                    for k in range(len(pidx)):
-                        pass_lists.setdefault(int(rids[pidx[k]]), []).append(
-                            int(sids[k])
-                        )
+                    # group by read (rids is non-decreasing along the flat
+                    # stream); np.split is per-read, not per-candidate
+                    pr = rids[pidx]
+                    starts = np.concatenate(
+                        ([0], np.flatnonzero(np.diff(pr)) + 1)
+                    )
+                    for a, b in zip(starts, np.append(starts[1:], len(pr))):
+                        pass_lists[int(pr[a])] = sids[a:b].tolist()
                 self._pick_and_align(
                     pass_lists, qlens, rejected, resolved,
                     accepted_records, d_qp, d_dp, d_qlen, d_dlen, cfg,

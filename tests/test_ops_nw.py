@@ -85,7 +85,7 @@ def test_wavefront_matches_oracle(seed):
         # backpointer parity over all inner cells
         for i in range(1, len(X)):
             for j in range(1, len(Y)):
-                got = bp[b, i + j, i]
+                got = bp[b, i + j, i] & 0xFFFFFF  # low 24: from-cell
                 want = frm[i, j, 0] * PACK + frm[i, j, 1]
                 assert got == want, f"pair {b} cell ({i},{j})"
 
