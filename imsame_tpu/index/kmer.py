@@ -72,9 +72,11 @@ class KmerIndex:
             counts = np.bincount(self.keys, minlength=n_keys)
             # int32: halves the memory traffic of the two random gathers
             # per query k-mer (the table is 67 MB; cache-resident slices
-            # matter more than the cumsum cost).
-            self.bucket_start = np.zeros(n_keys + 1, np.int32)
-            np.cumsum(counts, out=self.bucket_start[1:])
+            # matter more than the cumsum cost).  cumsum natively then
+            # cast -- cumsum with a casting `out=` is ~14x slower.
+            self.bucket_start = np.empty(n_keys + 1, np.int32)
+            self.bucket_start[0] = 0
+            self.bucket_start[1:] = counts.cumsum(dtype=np.int64)
 
     @property
     def n_entries(self) -> int:
@@ -122,6 +124,21 @@ def build_index(db: SeqInfo, k: int = FIXED_K) -> KmerIndex:
     build loop: k-mers fully inside a read with no window reset inside
     (valid_db_kmer_starts), ordered newest-first within each bucket.
     """
+    if k <= 16:
+        from .. import native
+
+        arrs = native.build_index_arrays(db.codes, db.fresh, db.start, k)
+        if arrs is not None:
+            keys, pos, sid, bucket_start = arrs
+            return KmerIndex(
+                keys=keys,
+                pos=pos,
+                sid=sid,
+                db_total_len=db.total_len,
+                db_n_seqs=db.n_seqs,
+                bucket_start=bucket_start,
+            )
+
     starts = valid_db_kmer_starts(db, k)
     keys = rolling_keys(db.codes, k)[starts] if len(starts) else np.empty(
         0, np.uint32

@@ -1,0 +1,144 @@
+"""ctypes loader for the native host runtime (native/host.c).
+
+Compiles host.c with the system gcc on first import (cached as _libhost.so
+next to the source, rebuilt when the source is newer) and exposes typed
+wrappers.  Everything degrades gracefully: if no compiler is available the
+module exports ``lib = None`` and callers fall back to their numpy paths --
+the results are bit-identical either way (tests/test_native.py).
+
+The extension deliberately avoids pybind11/numpy C API: plain C symbols +
+ctypes keeps the build a single gcc invocation with zero Python build-time
+dependencies.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "host.c")
+_SO = os.path.join(_HERE, "_libhost.so")
+
+i8 = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+i32 = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+u32 = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+i64 = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    cmd = [
+        "gcc", "-O3", "-shared", "-fPIC", "-fvisibility=hidden",
+        _SRC, "-o", _SO + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_SO + ".tmp", _SO)  # atomic: parallel importers race safely
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load():
+    try:
+        if not os.path.exists(_SO) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        ):
+            if not _build():
+                return None
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+
+    lib.imsame_index_count.restype = ctypes.c_int64
+    lib.imsame_index_count.argtypes = [i8, i8, ctypes.c_int64, ctypes.c_int32, i32]
+
+    lib.imsame_index_fill.restype = None
+    lib.imsame_index_fill.argtypes = [
+        i8, i8, i64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int64, i32, i32, u32, i32, i32,
+    ]
+
+    lib.imsame_kmer_stream.restype = None
+    lib.imsame_kmer_stream.argtypes = [
+        i8, i64, i64, ctypes.c_int64, ctypes.c_int32, i32, i64, i32, i32, i64,
+    ]
+
+    lib.imsame_build_flat.restype = ctypes.c_int64
+    lib.imsame_build_flat.argtypes = [
+        i64, i64, i64, ctypes.c_int64, i64, i64, i64, i32, i32, i64, i64,
+        ctypes.c_int32, i32, i32, i32,
+    ]
+    return lib
+
+
+lib = None if os.environ.get("IMSAME_NO_NATIVE") else _load()
+
+
+def build_index_arrays(codes, fresh, start, k: int):
+    """Counting-sort index build.  Returns (keys, pos, sid, bucket_start)
+    sorted by (key asc, pos desc), or None if the native lib is unavailable."""
+    if lib is None:
+        return None
+    n = len(codes)
+    nb = 4**k
+    bucket_start = np.zeros(nb + 1, np.int32)
+    codes = np.ascontiguousarray(codes, np.uint8)
+    fresh_u8 = np.ascontiguousarray(fresh, np.uint8)
+    start = np.ascontiguousarray(start, np.int64)
+    total = lib.imsame_index_count(codes, fresh_u8, n, k, bucket_start)
+    keys = np.empty(total, np.uint32)
+    pos = np.empty(total, np.int32)
+    sid = np.empty(total, np.int32)
+    fill = np.empty(nb, np.int32)
+    lib.imsame_index_fill(
+        codes, fresh_u8, start, len(start), n, k, nb,
+        bucket_start, fill, keys, pos, sid,
+    )
+    return keys, pos, sid, bucket_start
+
+
+def kmer_stream_arrays(codes, qlo, n_kmers, k: int, bucket_start):
+    """Fused per-slot stream tables.  Returns (kp, lo, cnt, Ccum) or None."""
+    if lib is None:
+        return None
+    total = int(n_kmers.sum())
+    kp = np.empty(total, np.int64)
+    lo = np.empty(total, np.int32)
+    cnt = np.empty(total, np.int32)
+    Ccum = np.empty(total + 1, np.int64)
+    lib.imsame_kmer_stream(
+        np.ascontiguousarray(codes, np.uint8),
+        np.ascontiguousarray(qlo, np.int64),
+        np.ascontiguousarray(n_kmers, np.int64),
+        len(qlo), k,
+        bucket_start, kp, lo, cnt, Ccum,
+    )
+    return kp, lo, cnt, Ccum
+
+
+def build_flat_arrays(
+    read_ids, from_rank, to_rank, K_off, C_off, kp, lo, cnt, Ccum, q_start,
+    k: int, out_size: int,
+):
+    """Flat candidate expansion.  Returns (rids, hits, qoffs) or None."""
+    if lib is None:
+        return None
+    rids = np.empty(out_size, np.int32)
+    hits = np.empty(out_size, np.int32)
+    qoffs = np.empty(out_size, np.int32)
+    n = lib.imsame_build_flat(
+        np.ascontiguousarray(read_ids, np.int64),
+        np.ascontiguousarray(from_rank, np.int64),
+        np.ascontiguousarray(to_rank, np.int64),
+        len(read_ids),
+        K_off, C_off, kp, lo, cnt, Ccum,
+        np.ascontiguousarray(q_start, np.int64), k,
+        rids, hits, qoffs,
+    )
+    assert n == out_size, (n, out_size)
+    return rids, hits, qoffs

@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import native
 from .config import Config
 from .constants import FIXED_K, MAX_READ_SIZE
 from .index.kmer import KmerIndex, build_index, rolling_keys
@@ -211,10 +212,20 @@ class TpuEngine:
 
         n_kmers = np.maximum(0, qhi - FIXED_K + 1 - qlo + 1)  # [n]
         K_off = np.zeros(n + 1, np.int64)
-        np.cumsum(n_kmers, out=K_off[1:])
+        K_off[1:] = n_kmers.cumsum()
         total_kmers = int(K_off[-1])
 
-        # k-mer start positions, contiguous per read (vectorized repeat).
+        # Native fused pass: rolling key + bucket lookup + prefix sum in one
+        # linear scan (native/host.c imsame_kmer_stream).
+        arrs = native.kmer_stream_arrays(
+            q.codes, qlo, n_kmers, FIXED_K, self.index.bucket_start
+        )
+        if arrs is not None:
+            kp, lo, cnt, Ccum = arrs
+            C_off = Ccum[K_off]
+            return kp, K_off, lo, cnt, Ccum, C_off
+
+        # numpy fallback: k-mer start positions via vectorized repeat.
         kp = (
             np.repeat(qlo, n_kmers)
             + np.arange(total_kmers, dtype=np.int64)
@@ -316,24 +327,20 @@ class TpuEngine:
 
     # ------------------------------------------------------------------
     def _gate(
-        self, gcs, rids, ts, kp, lo, Ccum, thr, d_qp, d_qlen, q_start,
-        window,
+        self, rids32, hits, qoffs, thr, d_qp, d_qlen, window
     ) -> np.ndarray:
-        """Gate a flat candidate-rank list on device; returns bool[len(gcs)].
+        """Gate a flat candidate list on device; returns bool[len(hits)].
 
-        Host maps global candidate ranks to (index hit row, query row
-        offset) from its own stream tables; the device only sees three
-        int32 vectors per chunk.  Two tiers: a small window first (random
-        candidates' walks provably terminate inside it, flagged exact),
-        then the full window only for the rare escapees."""
-        N = len(gcs)
+        The device only sees three int32 vectors per chunk: query read id,
+        index hit row, and the k-mer's end offset within the read.  Two
+        tiers: a small window first (random candidates' walks provably
+        terminate inside it, flagged exact), then the full window only for
+        the rare escapees."""
+        N = len(hits)
         out = np.zeros(N, bool)
         if N == 0:
             return out
-        hits = (lo[ts] + gcs - Ccum[ts]).astype(np.int32)
-        qoffs = (kp[ts] + FIXED_K - q_start[rids]).astype(np.int32)
-        thrc = thr[rids]
-        rids32 = rids.astype(np.int32)
+        thrc = thr[rids32]
 
         w_small = self.cfg.gate_window_small
         if w_small and w_small < window:
@@ -516,13 +523,23 @@ class TpuEngine:
             q_start = q.start.astype(np.int64)
 
             def build_flat(read_ids, from_rank, to_rank):
-                """Flat (gcs, rids, ts) arrays for ranks [from, to) per
-                read, read-major, stream order.  The candidate -> k-mer
-                slot map ts comes from expanding each read's slot list by
-                its bucket counts and trimming the rank window -- all
-                vectorized (a per-candidate binary search costs seconds
-                at tens of millions of candidates)."""
-                # full candidate expansion of the selected reads
+                """Flat (rids, hits, qoffs) int32 arrays for candidate
+                ranks [from, to) per read, read-major, stream order.
+                hits are index rows (sid/pos are direct gathers); qoffs
+                are k-mer end offsets in read-row coordinates."""
+                out_size = int(
+                    np.maximum(
+                        0, np.minimum(to_rank, N_r[read_ids]) - from_rank
+                    ).sum()
+                )
+                arrs = native.build_flat_arrays(
+                    read_ids, from_rank, to_rank, K_off, C_off,
+                    kp, lo, cnt, Ccum, q_start, FIXED_K, out_size,
+                )
+                if arrs is not None:
+                    return arrs
+                # numpy fallback: expand each read's slot list by its
+                # bucket counts and trim the rank window, all vectorized.
                 slot_lens = (K_off[read_ids + 1] - K_off[read_ids]).astype(
                     np.int64
                 )
@@ -545,22 +562,23 @@ class TpuEngine:
                 )
                 gcs = (np.repeat(C_off[read_ids], seg_lens) + pos)[keep]
                 rids = np.repeat(read_ids, seg_lens)[keep]
-                return gcs, rids, ts_full[keep]
+                ts = ts_full[keep]
+                hits = (lo[ts] + gcs - Ccum[ts]).astype(np.int32)
+                qoffs = (kp[ts] + FIXED_K - q_start[rids]).astype(np.int32)
+                return rids.astype(np.int32), hits, qoffs
 
             def run_stage(read_ids, from_rank, to_rank):
-                gcs, rids, ts_all = build_flat(read_ids, from_rank, to_rank)
-                self._n_cands += len(gcs)
+                rids, hits, qoffs = build_flat(read_ids, from_rank, to_rank)
+                self._n_cands += len(rids)
                 with self.timer.phase("resolve.extend"):
                     passes = self._gate(
-                        gcs, rids, ts_all, kp, lo, Ccum, thr,
-                        d_qp, d_qlen, q_start, window,
+                        rids, hits, qoffs, thr, d_qp, d_qlen, window
                     )
                 # group passing candidates by read, stream order preserved
                 pidx = np.flatnonzero(passes)
                 pass_lists: Dict[int, List[int]] = {}
                 if len(pidx):
-                    ts = ts_all[pidx]
-                    sids = idx.sid[lo[ts] + gcs[pidx] - Ccum[ts]]
+                    sids = idx.sid[hits[pidx]]
                     # group by read (rids is non-decreasing along the flat
                     # stream); np.split is per-read, not per-candidate
                     pr = rids[pidx]

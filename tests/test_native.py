@@ -1,0 +1,142 @@
+"""Native host runtime (imsame_tpu/native/host.c) vs numpy-path parity.
+
+The C routines must be bit-identical to the vectorized numpy formulations
+they replace; the pipeline picks whichever is available, so any divergence
+would silently change accept sets.
+"""
+
+import numpy as np
+import pytest
+
+from imsame_tpu import native
+from imsame_tpu.constants import FIXED_K
+from imsame_tpu.index.kmer import KmerIndex, build_index, rolling_keys
+from imsame_tpu.io.fasta import SeqInfo, parse_fasta_bytes, valid_db_kmer_starts
+
+pytestmark = pytest.mark.skipif(
+    native.lib is None, reason="native host library unavailable"
+)
+
+
+def synth_fasta(
+    n_reads: int, read_len: int, seed: int, with_invalid: bool = False,
+    ragged: bool = False,
+) -> bytes:
+    """FASTA bytes; optional non-ACGT chars (window resets) / ragged lens."""
+    rng = np.random.default_rng(seed)
+    out = []
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for i in range(n_reads):
+        L = read_len
+        if ragged:
+            L = int(rng.integers(5, read_len + 1))  # some reads < k
+        seq = bases[rng.integers(0, 4, L)].tobytes().decode()
+        if with_invalid and L > 4 and rng.random() < 0.5:
+            p = int(rng.integers(1, L - 1))
+            seq = seq[:p] + rng.choice(["N", "x", "-"]) + seq[p:]
+        out.append(f">r{i}\n{seq}\n")
+    return "".join(out).encode()
+
+
+def _numpy_index(db: SeqInfo, k: int = FIXED_K) -> KmerIndex:
+    starts = valid_db_kmer_starts(db, k)
+    keys = rolling_keys(db.codes, k)[starts] if len(starts) else np.empty(
+        0, np.uint32
+    )
+    pos = (starts + k).astype(np.int32)
+    sid = (np.searchsorted(db.start, starts, side="right") - 1).astype(
+        np.int32
+    )
+    order = len(keys) - 1 - np.argsort(keys[::-1], kind="stable")
+    return KmerIndex(
+        keys=keys[order], pos=pos[order], sid=sid[order],
+        db_total_len=db.total_len, db_n_seqs=db.n_seqs,
+    )
+
+
+def test_index_build_matches_numpy():
+    data = synth_fasta(60, 80, seed=3, with_invalid=True)
+    db = parse_fasta_bytes(data)
+    ref = _numpy_index(db)
+    got = build_index(db)
+    np.testing.assert_array_equal(got.keys, ref.keys)
+    np.testing.assert_array_equal(got.pos, ref.pos)
+    np.testing.assert_array_equal(got.sid, ref.sid)
+    np.testing.assert_array_equal(got.bucket_start, ref.bucket_start)
+
+
+def test_index_build_empty_and_short():
+    for body in (b">r0\n\n", b">r0\nACGT\n"):  # 0 and <k bases
+        db = parse_fasta_bytes(body)
+        idx = build_index(db)
+        assert idx.n_entries == 0
+        assert idx.bucket_start[-1] == 0
+
+
+def test_kmer_stream_matches_numpy():
+    rng = np.random.default_rng(7)
+    db = parse_fasta_bytes(synth_fasta(40, 90, seed=5))
+    idx = build_index(db)
+    # query with ragged read lengths
+    q = parse_fasta_bytes(synth_fasta(25, 70, seed=6, ragged=True))
+    starts = q.start.astype(np.int64)
+    n = q.n_seqs
+    qlo = starts.copy()
+    qlo[1:] = starts[1:] - 1
+    qhi = np.empty(n, np.int64)
+    qhi[:-1] = starts[1:] - 2
+    qhi[-1] = q.total_len - 1
+    n_kmers = np.maximum(0, qhi - FIXED_K + 1 - qlo + 1)
+    K_off = np.zeros(n + 1, np.int64)
+    K_off[1:] = n_kmers.cumsum()
+
+    kp_n, lo_n, cnt_n, Ccum_n = native.kmer_stream_arrays(
+        q.codes, qlo, n_kmers, FIXED_K, idx.bucket_start
+    )
+
+    total = int(K_off[-1])
+    kp = (
+        np.repeat(qlo, n_kmers)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(K_off[:-1], n_kmers)
+    )
+    keys = rolling_keys(q.codes)[kp]
+    lo, hi = idx.lookup_ranges(keys)
+    cnt = (hi - lo).astype(np.int64)
+    Ccum = np.zeros(total + 1, np.int64)
+    np.cumsum(cnt, out=Ccum[1:])
+
+    np.testing.assert_array_equal(kp_n, kp)
+    np.testing.assert_array_equal(lo_n, lo)
+    np.testing.assert_array_equal(cnt_n, cnt)
+    np.testing.assert_array_equal(Ccum_n, Ccum)
+
+    # build_flat over random rank windows vs the numpy expansion
+    C_off = Ccum[K_off]
+    N_r = C_off[1:] - C_off[:-1]
+    read_ids = np.flatnonzero(N_r > 0).astype(np.int64)
+    from_rank = rng.integers(0, 3, len(read_ids)).astype(np.int64)
+    to_rank = from_rank + rng.integers(0, 50, len(read_ids))
+    out_size = int(
+        np.maximum(0, np.minimum(to_rank, N_r[read_ids]) - from_rank).sum()
+    )
+    q_start = q.start.astype(np.int64)
+    rids, hits, qoffs = native.build_flat_arrays(
+        read_ids, from_rank, to_rank, K_off, C_off, kp, lo_n, cnt_n, Ccum,
+        q_start, FIXED_K, out_size,
+    )
+
+    # reference expansion (python, per candidate)
+    exp_r, exp_h, exp_q = [], [], []
+    for e, r in enumerate(read_ids):
+        rank = 0
+        for t in range(K_off[r], K_off[r + 1]):
+            for h in range(cnt[t]):
+                if from_rank[e] <= rank < min(to_rank[e], N_r[r]):
+                    exp_r.append(r)
+                    exp_h.append(lo[t] + h)
+                    exp_q.append(kp[t] + FIXED_K - q_start[r])
+                rank += 1
+    np.testing.assert_array_equal(rids, np.array(exp_r, np.int32))
+    np.testing.assert_array_equal(hits, np.array(exp_h, np.int32))
+    np.testing.assert_array_equal(qoffs, np.array(exp_q, np.int32))
