@@ -54,7 +54,7 @@ from .index.kmer import KmerIndex, build_index, rolling_keys
 from .io.fasta import CODE_TO_CHAR, SeqInfo
 from .io.reconstruct import backtrack_from_chain
 from .io.report import format_record, render_alignment
-from .ops.candidates import flat_gate
+from .ops.candidates import flat_gate, flat_gate_packed
 from .ops.extend import raw_score_threshold
 from .ops.extend_packed import pack_read_rows
 from .ops.resolve import nw_traceback_rows
@@ -327,12 +327,13 @@ class TpuEngine:
 
     # ------------------------------------------------------------------
     def _gate(
-        self, rids32, hits, qoffs, thr, d_qp, d_qlen, window
+        self, rids32, hits, qoffs, thr, d_thr, d_qp, d_qlen, window
     ) -> np.ndarray:
         """Gate a flat candidate list on device; returns bool[len(hits)].
 
-        The device only sees three int32 vectors per chunk: query read id,
-        index hit row, and the k-mer's end offset within the read.  Two
+        Per-candidate device traffic is two words: the index hit row, and
+        the read id packed with the k-mer end offset (flat_gate_packed;
+        the wide 4-word format remains for >=2^20-read queries).  Two
         tiers: a small window first (random candidates' walks provably
         terminate inside it, flagged exact), then the full window only for
         the rare escapees."""
@@ -340,31 +341,42 @@ class TpuEngine:
         out = np.zeros(N, bool)
         if N == 0:
             return out
-        thrc = thr[rids32]
+        packed = len(thr) < (1 << 20)
+        if packed:
+            rq = (rids32.astype(np.uint32) << np.uint32(12)) | qoffs.astype(
+                np.uint32
+            )
+            a, b, c = hits, rq, d_thr
+        else:
+            a, b, c = hits, rids32, qoffs  # wide path reorders below
 
         w_small = self.cfg.gate_window_small
         if w_small and w_small < window:
             p1, e1 = self._gate_chunks(
-                rids32, hits, qoffs, thrc, d_qp, d_qlen, w_small
+                packed, a, b, c, thr, d_qp, d_qlen, w_small
             )
             out[:] = p1
             esc = np.flatnonzero(~e1)
             if len(esc):
                 p2, _ = self._gate_chunks(
-                    rids32[esc], hits[esc], qoffs[esc], thrc[esc],
-                    d_qp, d_qlen, window,
+                    packed, a[esc], b[esc], c if packed else c[esc],
+                    thr, d_qp, d_qlen, window,
                 )
                 out[esc] = p2
         else:
             out[:], _ = self._gate_chunks(
-                rids32, hits, qoffs, thrc, d_qp, d_qlen, window
+                packed, a, b, c, thr, d_qp, d_qlen, window
             )
         return out
 
-    def _gate_chunks(self, rids32, hits, qoffs, thrc, d_qp, d_qlen, window):
+    def _gate_chunks(self, packed, hits, b, c, thr, d_qp, d_qlen, window):
         """Dispatch fixed-shape gate chunks; one device round trip for all
-        results.  Returns (passes, exact) bool arrays."""
-        N = len(rids32)
+        results.  Returns (passes, exact) bool arrays.
+
+        packed=True: b = rq uint32 array, c = device threshold table.
+        packed=False: b = rids int32, c = qoffs int32 (thresholds gathered
+        on host from thr)."""
+        N = len(hits)
         sizes = sorted(self.cfg.gate_chunks, reverse=True)
         pending = []
         pos = 0
@@ -377,30 +389,48 @@ class TpuEngine:
                 if -(-rem // z) * z <= size:
                     size = z
             take = min(rem, size)
-            rpad = np.zeros(size, np.int32)
-            hpad = np.zeros(size, np.int32)
-            qpad = np.zeros(size, np.int32)
-            tpad = np.full(size, np.iinfo(np.int32).max, np.int32)
             sl = slice(pos, pos + take)
-            rpad[:take] = rids32[sl]
+            hpad = np.zeros(size, np.int32)
             hpad[:take] = hits[sl]
-            qpad[:take] = qoffs[sl]
-            tpad[:take] = thrc[sl]
-            bits = flat_gate(
-                d_qp,
-                self._dp_cache[self._row_len],
-                d_qlen,
-                self._d_dlen,
-                self._d_idx_pos,
-                self._d_idx_sid,
-                self._d_db_start,
-                jnp.asarray(rpad),
-                jnp.asarray(hpad),
-                jnp.asarray(qpad),
-                jnp.asarray(tpad),
-                jnp.asarray(np.int32(take)),
-                window=window,
-            )
+            if packed:
+                bpad = np.zeros(size, np.uint32)
+                bpad[:take] = b[sl]
+                bits = flat_gate_packed(
+                    d_qp,
+                    self._dp_cache[self._row_len],
+                    d_qlen,
+                    self._d_dlen,
+                    self._d_idx_pos,
+                    self._d_idx_sid,
+                    self._d_db_start,
+                    jnp.asarray(hpad),
+                    jnp.asarray(bpad),
+                    c,
+                    jnp.asarray(np.int32(take)),
+                    window=window,
+                )
+            else:
+                rpad = np.zeros(size, np.int32)
+                qpad = np.zeros(size, np.int32)
+                tpad = np.full(size, np.iinfo(np.int32).max, np.int32)
+                rpad[:take] = b[sl]
+                qpad[:take] = c[sl]
+                tpad[:take] = thr[b[sl]]
+                bits = flat_gate(
+                    d_qp,
+                    self._dp_cache[self._row_len],
+                    d_qlen,
+                    self._d_dlen,
+                    self._d_idx_pos,
+                    self._d_idx_sid,
+                    self._d_db_start,
+                    jnp.asarray(rpad),
+                    jnp.asarray(hpad),
+                    jnp.asarray(qpad),
+                    jnp.asarray(tpad),
+                    jnp.asarray(np.int32(take)),
+                    window=window,
+                )
             pending.append((pos, take, size, bits))
             pos += take
         passes = np.zeros(N, bool)
@@ -519,6 +549,11 @@ class TpuEngine:
                 d_qlen = jnp.asarray(
                     _pad_pow2_1d(np.asarray(qlens, np.int32), 2)
                 )
+                d_thr = jnp.asarray(
+                    _pad_pow2_1d(
+                        np.asarray(thr, np.int32), np.iinfo(np.int32).max
+                    )
+                )
                 d_dlen = self._d_dlen
             q_start = q.start.astype(np.int64)
 
@@ -572,7 +607,7 @@ class TpuEngine:
                 self._n_cands += len(rids)
                 with self.timer.phase("resolve.extend"):
                     passes = self._gate(
-                        rids, hits, qoffs, thr, d_qp, d_qlen, window
+                        rids, hits, qoffs, thr, d_thr, d_qp, d_qlen, window
                     )
                 # group passing candidates by read, stream order preserved
                 pidx = np.flatnonzero(passes)
