@@ -69,36 +69,52 @@ def config_from_args(args: argparse.Namespace) -> Config:
 
 
 def main(argv=None) -> int:
+    """Stdout [INFO] lines byte-match the reference main
+    (src/IMSAME.c:63,102,106,295,317,407,416,470-473), with wall-clock
+    timings where the reference reports clock() CPU-seconds."""
+    t0 = time.perf_counter()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 
-    t0 = time.perf_counter()
+    print("[INFO] Init. quick table")
+    print(f"[INFO] Initialization took {time.perf_counter() - t0:e} seconds ")
     print("[INFO] Loading database")
-    db = read_fasta(args.db)
-    print(f"[INFO] Database loaded and of length {db.total_len}.")
-    print("[INFO] Loading query.")
-    q = read_fasta(args.query)
-    print(f"[INFO] Query loaded and of length {q.total_len}.")
-
-    eng = TpuEngine(db, cfg)
-    print("[INFO] Computing alignments.")
     t1 = time.perf_counter()
-    res = eng.compare(q)
+    db = read_fasta(args.db)
+    eng = TpuEngine(db, cfg)  # dict build is part of the db-load phase,
+    # like the reference's inline insert loop (src/IMSAME.c:196-289)
+    print(
+        f"[INFO] Database loaded and of length {db.total_len}. "
+        f"Hash table building took {time.perf_counter() - t1:e} seconds"
+    )
+    print("[INFO] Loading query.")
     t2 = time.perf_counter()
+    q = read_fasta(args.query)
+    print(
+        f"[INFO] Query loaded and of length {q.total_len}. "
+        f"Took {time.perf_counter() - t2:e} seconds"
+    )
+
+    print("[INFO] Computing alignments.")
+    t3 = time.perf_counter()
+    res = eng.compare(q)
+    t4 = time.perf_counter()
     if args.out:
         with open(args.out, "wb") as f:
             f.write(eng.render_report(q, res))
-    t3 = time.perf_counter()
 
-    print(f"[INFO] Alignments computed in {t2 - t1:e} seconds.")
+    print(f"[INFO] Alignments computed in {t4 - t3:e} seconds.")
     print(format_summary(res.accepted, res.n_query, res.n_db,
                          cfg.min_e_value, cfg.min_coverage))
-    print(
-        f"[INFO] {res.n_candidates} seed candidates, {res.nw_cells} DP cells "
-        f"({gcups(res.nw_cells, t2 - t1):.3f} GCUPS), "
-        f"{res.n_query / max(t2 - t1, 1e-9):.0f} reads/s, "
-        f"total {t3 - t0:.2f}s"
-    )
+    print("[INFO] Deallocating heap memory.")
+    if args.verbose:
+        print(
+            f"[INFO] {res.n_candidates} seed candidates, "
+            f"{res.nw_cells} DP cells "
+            f"({gcups(res.nw_cells, t4 - t3):.3f} GCUPS), "
+            f"{res.n_query / max(t4 - t3, 1e-9):.0f} reads/s, "
+            f"total {time.perf_counter() - t0:.2f}s"
+        )
     return 0
 
 

@@ -65,11 +65,6 @@ def pack_read_rows(
     )
 
 
-def pad_rows_pow2(rows: np.ndarray) -> np.ndarray:
-    """Rows count padded is NOT needed; kept for API symmetry."""
-    return rows
-
-
 class ExtendPackedResult(NamedTuple):
     raw: jax.Array  # [N] int32 raw scores
     passes: jax.Array  # [N] bool e-value gate

@@ -170,39 +170,6 @@ def min_length_for_coverage(ylen, min_coverage: float):
     return np.where(ceil_t == t, t, ceil_t).astype(np.int32)
 
 
-def make_full_compare_step(mesh: Mesh, cap: int, window: int, max_len: int):
-    """One jitted device step chaining every sharded stage -- the engine's
-    "training step" equivalent for multi-chip validation:
-
-      dict axis:  sharded k-mer lookup (psum-merged bucket counts)
-      data axis:  candidate extension gating, then gapped NW + traceback
-      collectives: psum of accepted count, DP cells, and pass tallies
-
-    Shapes are static; callers pass tiny arrays for dry runs.
-    """
-    lookup = make_dict_sharded_lookup(mesh, cap, 0)
-    ext = make_sharded_extend(mesh, window)
-    nw = make_sharded_nw(mesh, max_len)
-
-    @jax.jit
-    def step(
-        keys_sh, q_keys,
-        db_codes, q_codes, pos_db, pos_q, rxs, rxe, rys, rye, raw_min,
-        X, Y, xlen, ylen, igap, egap, min_length,
-    ):
-        counts, _ = lookup(keys_sh, q_keys)
-        raw, passes = ext(
-            db_codes, q_codes, pos_db, pos_q, rxs, rxe, rys, rye, raw_min
-        )
-        lengths, idents, n_cov, kcells = nw(
-            X, Y, xlen, ylen, igap, egap, min_length
-        )
-        n_pass = jnp.sum(passes.astype(jnp.int32))
-        return counts, raw, n_pass, lengths, idents, n_cov, kcells
-
-    return step
-
-
 def replicated(mesh: Mesh, x):
     return jax.device_put(x, NamedSharding(mesh, P()))
 

@@ -92,14 +92,6 @@ class PipelineResult:
         return self.accepted / ((self.n_db + self.n_query) - self.accepted)
 
 
-def _pow2_pad(n: int, cap: int) -> int:
-    """Smallest power of two >= n, capped; keeps jit shape cache small."""
-    p = 8
-    while p < n and p < cap:
-        p *= 2
-    return min(p, cap) if n <= cap else cap
-
-
 def _pad_pow2_1d(a: np.ndarray, fill, min_size: int = 256) -> np.ndarray:
     """Pad a 1-D array to the next power-of-two length (>= min_size).
 
