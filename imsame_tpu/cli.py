@@ -42,7 +42,6 @@ def build_parser() -> argparse.ArgumentParser:
                    help="candidates gated per read in stage 1")
     p.add_argument("--tpu-gate-chunks", type=str, default="524288,65536",
                    help="fixed flat-gate chunk sizes (comma-separated)")
-    p.add_argument("--tpu-nw-batch", type=int, default=2048)
     return p
 
 
@@ -64,7 +63,6 @@ def config_from_args(args: argparse.Namespace) -> Config:
         gate_chunks=tuple(
             int(x) for x in args.tpu_gate_chunks.split(",") if x
         ),
-        nw_batch=args.tpu_nw_batch,
     )
 
 

@@ -52,12 +52,14 @@ class Config:
     # flags exactness); only escapees re-run at the full read window.
     # 0 disables the tier.
     gate_window_small: int = 32
-    # NW pairs per kernel invocation -- also one fixed compiled shape
-    # (chunks pad up to exactly this; bp memory is ~0.5 MB/pair at the
-    # 256-bucket, so 2048 pairs ~= 1 GB HBM).
-    nw_batch: int = 2048
-    # Small NW batch for the short rejection-retry rounds.
-    nw_batch_small: int = 256
+    # NW batch-shape ladders (descending; each shape is one XLA compile,
+    # each dispatch one tunnel round trip -- see pipeline._nw_chunks).
+    # The stats-only accept path has no bp tensor, so its ladder tops out
+    # high enough that a whole stage is usually one dispatch; the render
+    # path materializes ~0.5 MB/pair of backpointers at the 256-bucket,
+    # so 2048 pairs ~= 1 GB HBM.
+    nw_stats_batches: tuple = (8192, 2048, 1024, 256)
+    nw_render_batches: tuple = (2048, 256)
     # Length buckets (reads padded up to the smallest bucket >= their len).
     length_buckets: tuple = (128, 256, 512, 1024, 2048, 3072)
     # Use the Pallas NW kernel when on TPU; fall back to pure-jnp otherwise.

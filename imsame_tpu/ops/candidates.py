@@ -51,27 +51,30 @@ def flat_gate_packed(
     idx_pos: jax.Array,  # [N_idx] int32 one-past k-mer end (concat coords)
     idx_sid: jax.Array,  # [N_idx] int32 owning db read
     db_start: jax.Array,  # [n_db] int32
-    hit: jax.Array,  # [N] int32 index row per candidate
-    rq: jax.Array,  # [N] uint32 (query read id << 12) | qoff per candidate
+    cand: jax.Array,  # [2, N] int32: row 0 index-hit row, row 1 the
+    # (query read id << 12) | qoff word (bit-cast from uint32)
     thr_tab: jax.Array,  # [n_q] int32 per-READ raw-score threshold
-    n_valid: jax.Array,  # [] int32 count of real candidates (rest padding)
     *,
     window: int,
 ) -> jax.Array:
-    """flat_gate with candidate traffic halved: behind a tunneled TPU the
-    per-chunk H2D transfer is the gate's main cost, so the read id and the
-    k-mer offset share one uint32 (qoff <= MAX_READ_SIZE < 2^12; requires
-    n_q < 2^20) and the per-read threshold lives in a table uploaded once
-    per compare instead of once per candidate."""
-    N = hit.shape[0]
+    """flat_gate with candidate traffic halved and one buffer each way:
+    behind a tunneled TPU every buffer transfer is a round trip, so the
+    read id and the k-mer offset share one uint32 (qoff <=
+    MAX_READ_SIZE < 2^12; requires n_q < 2^20), both candidate vectors
+    ride one stacked array, and the per-read threshold lives in a table
+    uploaded once per compare instead of once per candidate.  Padding
+    entries return garbage bits; callers read only the first `take`
+    bits of the result."""
+    N = cand.shape[1]
+    hit = cand[0]
+    rq = cand[1].astype(jnp.uint32)
     r = (rq >> jnp.uint32(12)).astype(jnp.int32)
     qoff = (rq & jnp.uint32(0xFFF)).astype(jnp.int32)
     passes, exact = gate_core(
         qp, dp, qlen, dlen, idx_pos, idx_sid, db_start,
         r, hit, qoff, thr_tab[r], window=window,
     )
-    valid = jnp.arange(N, dtype=jnp.int32) < n_valid
-    stacked = jnp.stack([passes & valid, exact])  # [2, N]
+    stacked = jnp.stack([passes, exact])  # [2, N]
     bits = stacked.reshape(2, N // 32, 32).astype(jnp.int32)
     weights = (jnp.int32(1) << jnp.arange(32, dtype=jnp.int32))[None, None, :]
     return jnp.sum(bits * weights, axis=2).astype(jnp.int32)

@@ -69,6 +69,17 @@ class NWResult(NamedTuple):
     best_j: jax.Array  # [B] int32
 
 
+class NWStatsResult(NamedTuple):
+    """Forward-only result: the accept-gate stats of the best path, with no
+    backpointer tensor (see nw_stats_batch)."""
+
+    best_score: jax.Array  # [B] int32
+    best_i: jax.Array  # [B] int32
+    best_j: jax.Array  # [B] int32
+    length: jax.Array  # [B] int32 alignment length of the best path
+    identities: jax.Array  # [B] int32 matches on the best path
+
+
 def _shift1(a, fill=NEG):
     """a'[:, i] = a[:, i-1]; a'[:, 0] = fill."""
     return jnp.concatenate(
@@ -233,3 +244,198 @@ def nw_forward_batch(
     out = jax.lax.fori_loop(0, ND, body, init)
     bs, bi, bj, bp = out[-4], out[-3], out[-2], out[-1]
     return NWResult(bp=bp, best_score=bs, best_i=bi, best_j=bj)
+
+
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def nw_stats_batch(
+    X: jax.Array,  # [B, L] uint8 codes, padded
+    Y: jax.Array,  # [B, L] uint8 codes, padded
+    xlen: jax.Array,  # [B] int32 actual db-read lengths (>= 2)
+    ylen: jax.Array,  # [B] int32 actual query-read lengths (>= 2)
+    igap: jax.Array,  # scalar int32 (negative)
+    egap: jax.Array,  # scalar int32 (negative)
+    *,
+    max_len: int,
+) -> NWStatsResult:
+    """Forward-only aligner: same recurrence and tie-breaks as
+    nw_forward_batch, but instead of materializing the [B, 2L-1, L]
+    backpointer tensor it *propagates the accept-gate statistics of the
+    best path through the DP itself*.
+
+    Each cell carries (length, identities) of the path the traceback would
+    reconstruct from it; the per-move contributions mirror
+    ops/traceback.py exactly (which itself mirrors the reference
+    backtracker, src/alignmentFunctions.c:493-560):
+
+      border cell (i==0 or j==0)   len = 0, id = 0 (the traceback stops
+                                   there without reading its move)
+      diagonal from (i-1, j-1)     len+1, id+match(i,j)
+      gap from (fx, fy)            len += max-side run (dx if dx>dy else
+                                   dy), id += 0
+
+    The mf/mc gap trackers therefore carry the (len, id) of their tracked
+    cell next to its score: mf assigns from T[i-1][j-2] (diag d-3, the
+    SURVEY.md 6.3 quirk), mc from T[i-2][j-1] (diag d-3, quirk 6.4), and
+    both re-initialize from border cells (len = id = 0).
+
+    Why this exists: acceptance (coverage/identity, reference
+    src/alignmentFunctions.c:163) needs only (length, identities, ylen) --
+    the full chain is needed only to *render* accepted pairs.  Dropping bp
+    removes ~0.5 MB/pair of HBM writes at L=256 (the round-1 bandwidth
+    ceiling); the report path re-runs the bp kernel on accepted pairs only.
+    Bit-equality with nw_forward_batch + traceback_batch is proven in
+    tests/test_nw_stats.py.
+    """
+    B, L = X.shape
+    assert L == max_len
+    ND = 2 * L - 1
+    i_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    xlenc = xlen.astype(jnp.int32)[:, None]
+    ylenc = ylen.astype(jnp.int32)[:, None]
+    igap = jnp.asarray(igap, jnp.int32)
+    egap = jnp.asarray(egap, jnp.int32)
+
+    Xc = X.astype(jnp.int32)
+    Yc = Y.astype(jnp.int32)
+    ZCOL = jnp.zeros((B, 1), jnp.int32)
+
+    def body(d, carry):
+        (s1, s2, s3, l1, l2, l3, n1, n2, n3,
+         mf_s, mf_x, mf_y, mf_l, mf_n, mc_s, mc_x, mc_l, mc_n, yd,
+         bs, bi, bj, bl, bn) = carry
+        d = jnp.int32(d)
+        j_idx = d - i_idx
+
+        y_new = jax.lax.dynamic_slice(Yc, (jnp.int32(0), d), (B, 1))
+        yd = jnp.concatenate([y_new, yd[:, :-1]], axis=1)
+
+        valid = (j_idx >= 0) & (i_idx < xlenc) & (j_idx < ylenc)
+        inner = valid & (i_idx >= 1) & (j_idx >= 1)
+        s_pm = jnp.where(Xc == yd, POINT, -POINT)
+        match_i = jnp.where(Xc == yd, 1, 0)
+
+        t_im1_jm1 = _shift1(s2)
+        t_i_jm2 = s2
+        t_im1_jm2 = _shift1(s3)
+        t_im2_jm1 = _shift1(_shift1(s3))
+        # path stats of the same four from-cells
+        l_im1_jm1 = _shift1(l2, 0)
+        n_im1_jm1 = _shift1(n2, 0)
+        l_im1_jm2 = _shift1(l3, 0)
+        n_im1_jm2 = _shift1(n3, 0)
+        l_im2_jm1 = _shift1(_shift1(l3, 0), 0)
+        n_im2_jm1 = _shift1(_shift1(n3, 0), 0)
+
+        # --- mf update (before the cell), rows with j > 1 ---
+        mf_upd = valid & (i_idx >= 1) & (j_idx >= 2) & (mf_s <= t_i_jm2)
+        mf_s = jnp.where(mf_upd, t_im1_jm2, mf_s)
+        mf_x = jnp.where(mf_upd, i_idx - 1, mf_x)
+        mf_y = jnp.where(mf_upd, j_idx - 2, mf_y)
+        mf_l = jnp.where(mf_upd, l_im1_jm2, mf_l)
+        mf_n = jnp.where(mf_upd, n_im1_jm2, mf_n)
+
+        # --- cell scores (identical decision logic to nw_forward_batch) ---
+        score_diag = t_im1_jm1 + s_pm
+        score_left = jnp.where(
+            j_idx >= 2, mf_s + igap + (j_idx - (mf_y + 1)) * egap + s_pm, NEG
+        )
+        score_right = jnp.where(
+            i_idx >= 2, mc_s + igap + (i_idx - (mc_x + 1)) * egap + s_pm, NEG
+        )
+        pick_diag = (score_diag >= score_left) & (score_diag >= score_right)
+        pick_right = (~pick_diag) & (score_right > score_left)
+        cell = jnp.where(
+            pick_diag, score_diag, jnp.where(pick_right, score_right, score_left)
+        )
+
+        # --- path stats of this cell ---
+        # gap-move length adds: the traceback's where(dx > dy, dx, dy).
+        dxl = i_idx - mf_x
+        dyl = j_idx - mf_y
+        add_left = jnp.where(dxl > dyl, dxl, dyl)
+        dxr = i_idx - mc_x
+        add_right = jnp.where(dxr > 1, dxr, 1)
+        len_new = jnp.where(
+            pick_diag,
+            l_im1_jm1 + 1,
+            jnp.where(pick_right, mc_l + add_right, mf_l + add_left),
+        )
+        id_new = jnp.where(
+            pick_diag,
+            n_im1_jm1 + match_i,
+            jnp.where(pick_right, mc_n, mf_n),
+        )
+
+        border = valid & ((i_idx == 0) | (j_idx == 0))
+        cell = jnp.where(border, s_pm, cell)
+        s0 = jnp.where(valid, cell, NEG)
+        l0 = jnp.where(inner, len_new, 0)
+        n0 = jnp.where(inner, id_new, 0)
+
+        # --- mc update (after the cell), strict >, from two rows up ---
+        mc_upd = inner & (i_idx >= 2) & (j_idx >= 2) & (t_im2_jm1 > mc_s)
+        mc_s = jnp.where(mc_upd, t_im2_jm1, mc_s)
+        mc_x = jnp.where(mc_upd, i_idx - 2, mc_x)
+        mc_l = jnp.where(mc_upd, l_im2_jm1, mc_l)
+        mc_n = jnp.where(mc_upd, n_im2_jm1, mc_n)
+
+        # --- mf re-init from this diagonal's column-0 cell (d, 0) ---
+        col0_ok = (d < L) & (xlen.astype(jnp.int32) > d)
+        x_at_d = jax.lax.dynamic_slice(Xc, (jnp.int32(0), d), (B, 1))
+        col0_score = jnp.where(x_at_d == Yc[:, :1], POINT, -POINT)
+        upd_col = (i_idx == d) & col0_ok[:, None]
+        mf_s = jnp.where(upd_col, col0_score, mf_s)
+        mf_x = jnp.where(upd_col, d, mf_x)
+        mf_y = jnp.where(upd_col, 0, mf_y)
+        mf_l = jnp.where(upd_col, 0, mf_l)  # border cell: stats 0
+        mf_n = jnp.where(upd_col, 0, mf_n)
+
+        # --- advance mc to diagonal d+1: shift down, push column d ---
+        row0_ok = (d < L) & (ylen.astype(jnp.int32) > d)
+        new_col_s = jnp.where(row0_ok[:, None], s0[:, :1], NEG)
+        mc_s = jnp.concatenate([new_col_s, mc_s[:, :-1]], axis=1)
+        mc_x = jnp.concatenate([ZCOL, mc_x[:, :-1]], axis=1)
+        mc_l = jnp.concatenate([ZCOL, mc_l[:, :-1]], axis=1)  # border: 0
+        mc_n = jnp.concatenate([ZCOL, mc_n[:, :-1]], axis=1)
+
+        # --- best cell on last row/column, reference tie-break ---
+        elig = inner & ((i_idx == xlenc - 1) | (j_idx == ylenc - 1))
+        packed = jnp.where(elig, s0 * 8192 + i_idx, jnp.int32(-(2**31) + 1))
+        dbest = jnp.max(packed, axis=1)
+        any_elig = jnp.any(elig, axis=1)
+        ds = jnp.floor_divide(dbest, 8192)
+        di = dbest - ds * 8192
+        take = any_elig & ((ds > bs) | ((ds == bs) & (di >= bi)))
+        at_di = i_idx == di[:, None]
+        l_at = jnp.sum(jnp.where(at_di, l0, 0), axis=1)
+        n_at = jnp.sum(jnp.where(at_di, n0, 0), axis=1)
+        bs = jnp.where(take, ds, bs)
+        bi = jnp.where(take, di, bi)
+        bj = jnp.where(take, d - di, bj)
+        bl = jnp.where(take, l_at, bl)
+        bn = jnp.where(take, n_at, bn)
+
+        return (s0, s1, s2, l0, l1, l2, n0, n1, n2,
+                mf_s, mf_x, mf_y, mf_l, mf_n, mc_s, mc_x, mc_l, mc_n, yd,
+                bs, bi, bj, bl, bn)
+
+    z = lambda: jnp.full((B, L), NEG, jnp.int32)
+    zi = lambda: jnp.zeros((B, L), jnp.int32)
+    init = (
+        z(), z(), z(),  # s1, s2, s3
+        zi(), zi(), zi(),  # l1, l2, l3
+        zi(), zi(), zi(),  # n1, n2, n3
+        z(), zi(), zi(), zi(), zi(),  # mf_s, mf_x, mf_y, mf_l, mf_n
+        z(), zi(), zi(), zi(),  # mc_s, mc_x, mc_l, mc_n
+        zi(),  # yd
+        jnp.full((B,), jnp.int32(-(2**31) + 1)),  # best score
+        jnp.zeros((B,), jnp.int32),  # best i
+        jnp.zeros((B,), jnp.int32),  # best j
+        jnp.zeros((B,), jnp.int32),  # best length
+        jnp.zeros((B,), jnp.int32),  # best identities
+    )
+    out = jax.lax.fori_loop(0, ND, body, init)
+    bs, bi, bj, bl, bn = out[-5], out[-4], out[-3], out[-2], out[-1]
+    return NWStatsResult(
+        best_score=bs, best_i=bi, best_j=bj, length=bl, identities=bn
+    )

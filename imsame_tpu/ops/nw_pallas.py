@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import POINT
-from .nw import NWResult, PACK, RUN_CAP
+from .nw import NWResult, NWStatsResult, PACK, RUN_CAP
 
 NEG = -(2 ** 28)  # python int: pallas kernels cannot capture jax scalars
 
@@ -314,4 +314,281 @@ def nw_forward_batch_pallas(
         best_score=bs[:, 0],
         best_i=bi[:, 0],
         best_j=bj[:, 0],
+    )
+
+
+def _make_nw_stats_kernel(max_len: int):
+    """Stats-only twin of _make_nw_kernel: same recurrence, tie-breaks and
+    quirks, but instead of emitting the [B, 2L, L] backpointer tensor it
+    carries (length, identities) of each cell's traceback path through the
+    wavefront (the formulation of ops/nw.py nw_stats_batch), so per pair
+    the kernel writes 5 scalars to HBM instead of ~0.5 MB of moves."""
+    L = max_len
+
+    def kernel(igap_ref, egap_ref, x_ref, xr_ref, yr_ref, xlen_ref, ylen_ref,
+               bs_ref, bi_ref, bj_ref, bl_ref, bn_ref,
+               s1_ref, s2_ref, s3_ref,
+               l1_ref, l2_ref, l3_ref, n1_ref, n2_ref, n3_ref,
+               mfs_ref, mfx_ref, mfy_ref, mfl_ref, mfn_ref,
+               mcs_ref, mcx_ref, mcl_ref, mcn_ref,
+               yd_ref, xf_ref, yf_ref,
+               cbs_ref, cbi_ref, cbj_ref, cbl_ref, cbn_ref):
+        dbase = pl.program_id(1) * jnp.int32(UNROLL)
+        igap = igap_ref[0, 0]
+        egap = egap_ref[0, 0]
+        xlen = xlen_ref[:]  # (BBLK, 1)
+        ylen = ylen_ref[:]
+        xc = x_ref[:]  # (BBLK, L) int32 codes
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BBLK, L), 1)
+        NEG32 = jnp.int32(NEG)
+        P4 = jnp.int32(POINT)
+        M4 = jnp.int32(-POINT)
+        Z32 = jnp.int32(0)
+        ONE = jnp.int32(1)
+
+        def shift1(a, fill):
+            rolled = pltpu.roll(a, jnp.int32(1), axis=1)
+            return jnp.where(lane == 0, fill, rolled)
+
+        @pl.when(dbase == 0)
+        def _init():
+            neg = jnp.full((BBLK, L), NEG, jnp.int32)
+            zero = jnp.zeros((BBLK, L), jnp.int32)
+            for ref in (s1_ref, s2_ref, s3_ref, mfs_ref, mcs_ref):
+                ref[:] = neg
+            for ref in (l1_ref, l2_ref, l3_ref, n1_ref, n2_ref, n3_ref,
+                        mfx_ref, mfy_ref, mfl_ref, mfn_ref,
+                        mcx_ref, mcl_ref, mcn_ref, yd_ref):
+                ref[:] = zero
+            xf_ref[:] = xr_ref[:]
+            yf_ref[:] = yr_ref[:]
+            cbs_ref[:] = jnp.full((BBLK, 1), jnp.int32(-(2**31) + 1))
+            for ref in (cbi_ref, cbj_ref, cbl_ref, cbn_ref):
+                ref[:] = jnp.zeros((BBLK, 1), jnp.int32)
+
+        y0 = yr_ref[:, L - 1 : L]
+        for u in range(UNROLL):
+            d = dbase + jnp.int32(u)
+            j_idx = d - lane
+
+            y_new = yf_ref[:, L - 1 : L]
+            x_at_d = xf_ref[:, L - 1 : L]
+            yf_ref[:] = pltpu.roll(yf_ref[:], jnp.int32(1), axis=1)
+            xf_ref[:] = pltpu.roll(xf_ref[:], jnp.int32(1), axis=1)
+            yd = shift1(yd_ref[:], y_new)
+            yd_ref[:] = yd
+
+            valid = (j_idx >= 0) & (lane < xlen) & (j_idx < ylen)
+            inner = valid & (lane >= 1) & (j_idx >= 1)
+            s_pm = jnp.where(xc == yd, P4, M4)
+            match_i = jnp.where(xc == yd, ONE, Z32)
+
+            s2 = s2_ref[:]
+            s3 = s3_ref[:]
+            t_im1_jm1 = shift1(s2, NEG32)
+            t_i_jm2 = s2
+            t_im1_jm2 = shift1(s3, NEG32)
+            t_im2_jm1 = shift1(t_im1_jm2, NEG32)
+            l2 = l2_ref[:]
+            l3 = l3_ref[:]
+            n2 = n2_ref[:]
+            n3 = n3_ref[:]
+            l_im1_jm1 = shift1(l2, Z32)
+            n_im1_jm1 = shift1(n2, Z32)
+            l_im1_jm2 = shift1(l3, Z32)
+            n_im1_jm2 = shift1(n3, Z32)
+            l_im2_jm1 = shift1(l_im1_jm2, Z32)
+            n_im2_jm1 = shift1(n_im1_jm2, Z32)
+
+            # mf update (before the cell), j > 1
+            mf_s = mfs_ref[:]
+            mf_x = mfx_ref[:]
+            mf_y = mfy_ref[:]
+            mf_l = mfl_ref[:]
+            mf_n = mfn_ref[:]
+            mf_upd = valid & (lane >= 1) & (j_idx >= 2) & (mf_s <= t_i_jm2)
+            mf_s = jnp.where(mf_upd, t_im1_jm2, mf_s)
+            mf_x = jnp.where(mf_upd, lane - ONE, mf_x)
+            mf_y = jnp.where(mf_upd, j_idx - jnp.int32(2), mf_y)
+            mf_l = jnp.where(mf_upd, l_im1_jm2, mf_l)
+            mf_n = jnp.where(mf_upd, n_im1_jm2, mf_n)
+
+            # cell scores
+            mc_s = mcs_ref[:]
+            mc_x = mcx_ref[:]
+            mc_l = mcl_ref[:]
+            mc_n = mcn_ref[:]
+            score_diag = t_im1_jm1 + s_pm
+            score_left = jnp.where(
+                j_idx >= 2,
+                mf_s + igap + (j_idx - (mf_y + 1)) * egap + s_pm, NEG32,
+            )
+            score_right = jnp.where(
+                lane >= 2,
+                mc_s + igap + (lane - (mc_x + 1)) * egap + s_pm, NEG32,
+            )
+            pick_diag = (score_diag >= score_left) & (score_diag >= score_right)
+            pick_right = (~pick_diag) & (score_right > score_left)
+            cell = jnp.where(
+                pick_diag, score_diag,
+                jnp.where(pick_right, score_right, score_left),
+            )
+
+            # path stats of this cell (traceback move contributions)
+            dxl = lane - mf_x
+            dyl = j_idx - mf_y
+            add_left = jnp.where(dxl > dyl, dxl, dyl)
+            dxr = lane - mc_x
+            add_right = jnp.where(dxr > 1, dxr, ONE)
+            len_new = jnp.where(
+                pick_diag,
+                l_im1_jm1 + ONE,
+                jnp.where(pick_right, mc_l + add_right, mf_l + add_left),
+            )
+            id_new = jnp.where(
+                pick_diag,
+                n_im1_jm1 + match_i,
+                jnp.where(pick_right, mc_n, mf_n),
+            )
+
+            border = valid & ((lane == 0) | (j_idx == 0))
+            cell = jnp.where(border, s_pm, cell)
+            s0 = jnp.where(valid, cell, NEG32)
+            l0 = jnp.where(inner, len_new, Z32)
+            n0 = jnp.where(inner, id_new, Z32)
+
+            # mc update (after the cell), strict >, from two rows up
+            mc_upd = inner & (lane >= 2) & (j_idx >= 2) & (t_im2_jm1 > mc_s)
+            mc_s = jnp.where(mc_upd, t_im2_jm1, mc_s)
+            mc_x = jnp.where(mc_upd, lane - jnp.int32(2), mc_x)
+            mc_l = jnp.where(mc_upd, l_im2_jm1, mc_l)
+            mc_n = jnp.where(mc_upd, n_im2_jm1, mc_n)
+
+            # mf re-init from the column-0 cell (d, 0): border stats = 0
+            col0_ok = (d < L) & (xlen > d)  # (BBLK, 1)
+            col0_score = jnp.where(x_at_d == y0, P4, M4)
+            upd_col = (lane == d) & col0_ok
+            mf_s = jnp.where(upd_col, col0_score, mf_s)
+            mf_x = jnp.where(upd_col, d, mf_x)
+            mf_y = jnp.where(upd_col, Z32, mf_y)
+            mf_l = jnp.where(upd_col, Z32, mf_l)
+            mf_n = jnp.where(upd_col, Z32, mf_n)
+            mfs_ref[:] = mf_s
+            mfx_ref[:] = mf_x
+            mfy_ref[:] = mf_y
+            mfl_ref[:] = mf_l
+            mfn_ref[:] = mf_n
+
+            # advance mc to diagonal d+1: shift down, push column d
+            row0_ok = (d < L) & (ylen > d)
+            new_col_s = jnp.where(row0_ok, s0[:, 0:1], NEG32)
+            mcs_ref[:] = shift1(mc_s, new_col_s)
+            mcx_ref[:] = shift1(mc_x, Z32)
+            mcl_ref[:] = shift1(mc_l, Z32)
+            mcn_ref[:] = shift1(mc_n, Z32)
+
+            # best cell on last row/column, reference tie-break
+            elig = inner & ((lane == xlen - 1) | (j_idx == ylen - 1))
+            packed = jnp.where(
+                elig, s0 * jnp.int32(8192) + lane, jnp.int32(-(2**31) + 1)
+            )
+            dbest = jnp.max(packed, axis=1, keepdims=True)  # (BBLK, 1)
+            any_elig = dbest != jnp.int32(-(2**31) + 1)
+            ds = jnp.floor_divide(dbest, jnp.int32(8192))
+            di = dbest - ds * jnp.int32(8192)
+            at_di = lane == di
+            l_at = jnp.sum(jnp.where(at_di, l0, Z32), axis=1, keepdims=True)
+            n_at = jnp.sum(jnp.where(at_di, n0, Z32), axis=1, keepdims=True)
+            bs = cbs_ref[:]
+            bi = cbi_ref[:]
+            take = any_elig & ((ds > bs) | ((ds == bs) & (di >= bi)))
+            bs = jnp.where(take, ds, bs)
+            bi = jnp.where(take, di, bi)
+            bj = jnp.where(take, d - di, cbj_ref[:])
+            bl = jnp.where(take, l_at, cbl_ref[:])
+            bn = jnp.where(take, n_at, cbn_ref[:])
+            cbs_ref[:] = bs
+            cbi_ref[:] = bi
+            cbj_ref[:] = bj
+            cbl_ref[:] = bl
+            cbn_ref[:] = bn
+            bs_ref[:] = bs
+            bi_ref[:] = bi
+            bj_ref[:] = bj
+            bl_ref[:] = bl
+            bn_ref[:] = bn
+
+            # rotate score + stat diagonals
+            s3_ref[:] = s2
+            s2_ref[:] = s1_ref[:]
+            s1_ref[:] = s0
+            l3_ref[:] = l2
+            l2_ref[:] = l1_ref[:]
+            l1_ref[:] = l0
+            n3_ref[:] = n2
+            n2_ref[:] = n1_ref[:]
+            n1_ref[:] = n0
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("max_len", "interpret"))
+def nw_stats_batch_pallas(
+    X: jax.Array,  # [B, L] uint8 codes
+    Y: jax.Array,
+    xlen: jax.Array,  # [B]
+    ylen: jax.Array,
+    igap,
+    egap,
+    *,
+    max_len: int,
+    interpret: bool = False,
+) -> NWStatsResult:
+    B, L = X.shape
+    assert L == max_len and L % 128 == 0 and B % BBLK == 0
+    NDP = 2 * L  # padded diagonal count (multiple of UNROLL)
+    grid = (B // BBLK, NDP // UNROLL)
+
+    kernel = _make_nw_stats_kernel(L)
+    scr = [pltpu.VMEM((BBLK, L), jnp.int32)] * 21 + [
+        pltpu.VMEM((BBLK, 1), jnp.int32)
+    ] * 5
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((B, 1), jnp.int32) for _ in range(5)
+    )
+    smem11 = pl.BlockSpec((1, 1), lambda b, d: (0, 0), memory_space=pltpu.SMEM)
+    vrow = lambda: pl.BlockSpec(
+        (BBLK, L), lambda b, d: (b, 0), memory_space=pltpu.VMEM
+    )
+    vone = lambda: pl.BlockSpec(
+        (BBLK, 1), lambda b, d: (b, 0), memory_space=pltpu.VMEM
+    )
+    Xi = X.astype(jnp.int32)
+    Yi = Y.astype(jnp.int32)
+    bs, bi, bj, bl, bn = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem11, smem11, vrow(), vrow(), vrow(), vone(), vone()],
+        out_specs=tuple(vone() for _ in range(5)),
+        out_shape=out_shape,
+        scratch_shapes=scr,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(
+        jnp.asarray(igap, jnp.int32).reshape(1, 1),
+        jnp.asarray(egap, jnp.int32).reshape(1, 1),
+        Xi,
+        Xi[:, ::-1],
+        Yi[:, ::-1],
+        xlen.astype(jnp.int32).reshape(B, 1),
+        ylen.astype(jnp.int32).reshape(B, 1),
+    )
+    return NWStatsResult(
+        best_score=bs[:, 0],
+        best_i=bi[:, 0],
+        best_j=bj[:, 0],
+        length=bl[:, 0],
+        identities=bn[:, 0],
     )

@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from .extend_packed import BASES_PER_WORD
-from .nw import nw_forward_batch
-from .nw_pallas import nw_forward_batch_pallas
+from .nw import nw_forward_batch, nw_stats_batch
+from .nw_pallas import nw_forward_batch_pallas, nw_stats_batch_pallas
 from .traceback import TracebackResult, traceback_batch
 
 
@@ -68,4 +68,38 @@ def nw_traceback_rows(
         ylen=yl.astype(jnp.int32),
         n_steps=tb.n_steps,
         chain=tb.chain,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_len", "use_pallas"))
+def nw_stats_rows(
+    qp: jax.Array,  # [n_q, WPq] uint32 packed query rows
+    dp: jax.Array,  # [n_db, WPd] uint32 packed db rows
+    rs: jax.Array,  # [2, B] int32: row 0 query read ids, row 1 db read ids
+    qlen: jax.Array,  # [n_q] int32
+    dlen: jax.Array,  # [n_db] int32
+    igap,
+    egap,
+    *,
+    max_len: int,
+    use_pallas: bool,
+) -> jax.Array:
+    """Accept-gate resolve: gather packed rows, run the stats-only wavefront
+    aligner (no backpointer tensor -- the round-1 HBM-bandwidth ceiling),
+    return exactly what the accept gate needs (reference accept:
+    src/alignmentFunctions.c:163) as one stacked [3, B] int32 array
+    (length, identities, ylen) -- a single transfer each way per chunk,
+    since behind a tunneled TPU every buffer costs a round trip.  The
+    traceback chain for *accepted* pairs is produced later by
+    nw_traceback_rows at render time."""
+    r = rs[0]
+    s = rs[1]
+    X = unpack_rows(dp, s, max_len)
+    Y = unpack_rows(qp, r, max_len)
+    xl = dlen[s]
+    yl = qlen[r]
+    nw_fn = nw_stats_batch_pallas if use_pallas else nw_stats_batch
+    res = nw_fn(X, Y, xl, yl, igap, egap, max_len=max_len)
+    return jnp.stack(
+        [res.length, res.identities, yl.astype(jnp.int32)]
     )

@@ -57,7 +57,7 @@ from .io.report import format_record, render_alignment
 from .ops.candidates import flat_gate, flat_gate_packed
 from .ops.extend import raw_score_threshold
 from .ops.extend_packed import pack_read_rows
-from .ops.resolve import nw_traceback_rows
+from .ops.resolve import nw_stats_rows, nw_traceback_rows
 from .utils.timing import PhaseTimer
 
 
@@ -68,12 +68,11 @@ class AcceptedRead:
     length: int
     identities: int
     ylen: int
-    n_steps: int
-    # Traceback chain: left on device until a report is rendered (the
-    # engine may sit behind a slow link; stats-only runs never fetch it).
-    chain_dev: object = None  # jax.Array [B, 2L] holding the whole chunk
-    chain_row: int = -1
-    chain: Optional[np.ndarray] = None  # filled by _materialize_chains
+    # Traceback data: the accept path runs the stats-only aligner (no
+    # backpointer tensor); the chain is produced by re-running the bp
+    # kernel on accepted pairs only, at render time (render_report).
+    n_steps: int = -1
+    chain: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -155,6 +154,10 @@ class TpuEngine:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self._use_pallas = use_pallas
+        self._nw_stats_fn = nw_stats_rows
+        # Device handles of the last compare()'s query-side tables; the
+        # render path re-runs the bp kernel on accepted pairs from these.
+        self._last_dev: Optional[Tuple] = None
 
     def _packed_db_rows(self, row_len: int) -> jax.Array:
         if row_len not in self._dp_cache:
@@ -241,6 +244,45 @@ class TpuEngine:
                 return b
         raise ValueError("Read size reached for gapped alignment.")
 
+    def _nw_chunks(
+        self, r_ids: np.ndarray, sids: np.ndarray, qlens: np.ndarray,
+        sizes: tuple,
+    ):
+        """Split pairs into fixed-shape padded chunks bucketed by length.
+
+        Yields (chunk_indices, rpad, spad, L).  ``sizes`` is the descending
+        ladder of allowed batch shapes: each distinct shape is one slow XLA
+        compile, and behind a tunneled TPU each *dispatch* costs a round
+        trip, so chunks pad up to the smallest ladder size that covers the
+        remainder (padding compute is nearly free on the wavefront
+        kernels; the stats ladder therefore tops out much higher than the
+        render ladder, whose bp tensor costs ~0.5 MB/pair of HBM)."""
+        P = len(r_ids)
+        xls = self.db_read_lens[sids]
+        yls = qlens[r_ids]
+        if P and (int(xls.max()) > MAX_READ_SIZE or int(yls.max()) > MAX_READ_SIZE):
+            raise ValueError("Read size reached for gapped alignment.")
+        self._nw_cells += int(np.sum(xls.astype(np.int64) * yls))
+        maxl = np.maximum(xls, yls)
+        buckets = np.array([self._nw_bucket(int(m)) for m in maxl], np.int64) \
+            if P else np.empty(0, np.int64)
+        for L in np.unique(buckets):
+            idxs = np.flatnonzero(buckets == L)
+            pos = 0
+            while pos < len(idxs):
+                rem = len(idxs) - pos
+                B = sizes[0]
+                for z in sizes[1:]:
+                    if z >= rem:
+                        B = z
+                chunk = idxs[pos : pos + min(rem, B)]
+                pos += len(chunk)
+                rpad = np.zeros(B, np.int32)
+                spad = np.zeros(B, np.int32)
+                rpad[: len(chunk)] = r_ids[chunk]
+                spad[: len(chunk)] = sids[chunk]
+                yield chunk, rpad, spad, int(L)
+
     def _run_nw_pairs(
         self,
         r_ids: np.ndarray,  # [P] query read ids
@@ -250,70 +292,38 @@ class TpuEngine:
         d_dp: jax.Array,
         d_qlen: jax.Array,
         d_dlen: jax.Array,
-    ) -> List[Tuple[int, int, int, object, int, int]]:
-        """Gapped-align pairs; returns (length, identities, ylen, chain_dev,
-        chain_row, n_steps) per pair.  All chunks are dispatched before any
-        result is fetched, so one call pays one device round-trip."""
+    ) -> List[Tuple[int, int, int]]:
+        """Gapped-align pairs with the stats-only aligner (no backpointer
+        tensor); returns (length, identities, ylen) per pair -- exactly the
+        accept-gate inputs.  All chunks are dispatched before any result is
+        fetched, so one call pays one device round-trip."""
         P = len(r_ids)
         out: List = [None] * P
-        xls = self.db_read_lens[sids]
-        yls = qlens[r_ids]
-        if P and (int(xls.max()) > MAX_READ_SIZE or int(yls.max()) > MAX_READ_SIZE):
-            raise ValueError("Read size reached for gapped alignment.")
-        self._nw_cells += int(np.sum(xls.astype(np.int64) * yls))
-        maxl = np.maximum(xls, yls)
-        by_bucket: Dict[int, np.ndarray] = {}
-        buckets = np.array([self._nw_bucket(int(m)) for m in maxl], np.int64) \
-            if P else np.empty(0, np.int64)
-        for L in np.unique(buckets):
-            by_bucket[int(L)] = np.flatnonzero(buckets == L)
-
         pending = []
-        for L, idxs in by_bucket.items():
-            for c0 in range(0, len(idxs), self.cfg.nw_batch):
-                chunk = idxs[c0 : c0 + self.cfg.nw_batch]
-                # Two fixed shapes per L: the big batch and a small one for
-                # the short rejection-retry rounds (each compiled shape is
-                # one slow XLA compile; a mostly-padding big batch wastes
-                # ~150 ms of device time per round).
-                B = self.cfg.nw_batch
-                if len(chunk) <= self.cfg.nw_batch_small:
-                    B = self.cfg.nw_batch_small
-                rpad = np.zeros(B, np.int32)
-                spad = np.zeros(B, np.int32)
-                rpad[: len(chunk)] = r_ids[chunk]
-                spad[: len(chunk)] = sids[chunk]
-                res = nw_traceback_rows(
-                    d_qp,
-                    d_dp,
-                    jnp.asarray(rpad),
-                    jnp.asarray(spad),
-                    d_qlen,
-                    d_dlen,
-                    self.cfg.igap,
-                    self.cfg.egap,
-                    max_len=L,
-                    use_pallas=self._use_pallas,
-                )
-                pending.append((chunk, res))
+        for chunk, rpad, spad, L in self._nw_chunks(
+            r_ids, sids, qlens, self.cfg.nw_stats_batches
+        ):
+            res = self._nw_stats_fn(
+                d_qp,
+                d_dp,
+                jnp.asarray(np.stack([rpad, spad])),
+                d_qlen,
+                d_dlen,
+                self.cfg.igap,
+                self.cfg.egap,
+                max_len=L,
+                use_pallas=self._use_pallas,
+            )
+            pending.append((chunk, res))
 
         # One synchronization for every chunk's stats (a device round trip
-        # costs ~30 ms behind the tunnel; per-array fetches would pay it
-        # 4x per chunk).  Chains stay on device, fetched lazily.
-        flat = jax.device_get(
-            [a for _, res in pending
-             for a in (res.length, res.identities, res.ylen, res.n_steps)]
-        )
-        for ci, (chunk, res) in enumerate(pending):
-            lengths, idents, ylen, nsteps = flat[4 * ci : 4 * ci + 4]
+        # costs ~30 ms behind the tunnel; stats come back as one stacked
+        # array per chunk).
+        flat = jax.device_get([res for _, res in pending])
+        for (chunk, _res), stats in zip(pending, flat):
             for b, i in enumerate(chunk):
                 out[i] = (
-                    int(lengths[b]),
-                    int(idents[b]),
-                    int(ylen[b]),
-                    res.chain,  # device buffer, fetched lazily
-                    b,
-                    int(nsteps[b]),
+                    int(stats[0, b]), int(stats[1, b]), int(stats[2, b])
                 )
         return out
 
@@ -382,11 +392,10 @@ class TpuEngine:
                     size = z
             take = min(rem, size)
             sl = slice(pos, pos + take)
-            hpad = np.zeros(size, np.int32)
-            hpad[:take] = hits[sl]
             if packed:
-                bpad = np.zeros(size, np.uint32)
-                bpad[:take] = b[sl]
+                cand = np.zeros((2, size), np.int32)
+                cand[0, :take] = hits[sl]
+                cand[1, :take] = b[sl].view(np.int32)
                 bits = flat_gate_packed(
                     d_qp,
                     self._dp_cache[self._row_len],
@@ -395,16 +404,16 @@ class TpuEngine:
                     self._d_idx_pos,
                     self._d_idx_sid,
                     self._d_db_start,
-                    jnp.asarray(hpad),
-                    jnp.asarray(bpad),
+                    jnp.asarray(cand),
                     c,
-                    jnp.asarray(np.int32(take)),
                     window=window,
                 )
             else:
+                hpad = np.zeros(size, np.int32)
                 rpad = np.zeros(size, np.int32)
                 qpad = np.zeros(size, np.int32)
                 tpad = np.full(size, np.iinfo(np.int32).max, np.int32)
+                hpad[:take] = hits[sl]
                 rpad[:take] = b[sl]
                 qpad[:take] = c[sl]
                 tpad[:take] = thr[b[sl]]
@@ -437,63 +446,64 @@ class TpuEngine:
             exact[pos : pos + take] = flat[1, :take]
         return passes, exact
 
-    def _pick_and_align(
+    def _align_and_accept(
         self,
-        pass_lists: Dict[int, List[int]],  # read -> passing sids, stream order
+        pass_r: np.ndarray,  # [P] read ids of passing candidates, stream order
+        pass_sid: np.ndarray,  # [P] db read ids of passing candidates
         qlens: np.ndarray,
-        rejected: Dict[int, Set[int]],
+        rejected_keys: Set[int],  # r * n_db + sid of NW-rejected pairs
         resolved: np.ndarray,
         accepted_records: List[AcceptedRead],
         d_qp, d_dp, d_qlen, d_dlen,
         cfg: Config,
     ) -> None:
-        """Walk each read's passing candidates in stream order, batching the
-        gapped alignments of first-unknown pairs across reads; the first
-        accepting pair wins the read (reference NWaligned semantics)."""
-        heads: Dict[int, int] = {r: 0 for r in pass_lists}
-        while heads:
-            r_sel: List[int] = []
-            s_sel: List[int] = []
-            done: List[int] = []
-            for r, h in heads.items():
-                sl = pass_lists[r]
-                rej = rejected.get(r)
-                while h < len(sl) and rej is not None and sl[h] in rej:
-                    h += 1
-                if h >= len(sl):
-                    done.append(r)
-                else:
-                    heads[r] = h
-                    r_sel.append(r)
-                    s_sel.append(sl[h])
-            for r in done:
-                del heads[r]
-            if not r_sel:
-                break
-            with self.timer.phase("resolve.nw"):
-                results = self._run_nw_pairs(
-                    np.asarray(r_sel, np.int64), np.asarray(s_sel, np.int64),
-                    qlens, d_qp, d_dp, d_qlen, d_dlen,
-                )
-            for k, (length, idents, ylen, cdev, crow, nst) in enumerate(
-                results
+        """One-shot gapped resolution: NW-align every unique passing
+        (query read, db read) pair in a single dispatch wave, then replay
+        the candidate stream on the host.
+
+        The reference walks each read's stream sequentially and stops at
+        the first *accepting* candidate (NWaligned,
+        src/alignmentFunctions.c:172,189-190); the aligner's verdict
+        depends only on the two full reads, so all verdicts can be
+        computed up front and the sequential walk replayed for free.  One
+        wave costs one device round-trip; the previous head-walking loop
+        paid one per rejection round (~30 ms each behind a tunneled TPU)."""
+        if not len(pass_r):
+            return
+        n_db = max(self.db.n_seqs, 1)
+        key = pass_r.astype(np.int64) * n_db + pass_sid
+        _, first_idx = np.unique(key, return_index=True)
+        first_idx.sort()  # unique pairs, stream order of first occurrence
+        ck = key[first_idx]
+        if rejected_keys:
+            fresh = np.array([k not in rejected_keys for k in ck], bool)
+            first_idx, ck = first_idx[fresh], ck[fresh]
+        cr = pass_r[first_idx].astype(np.int64)
+        cs = pass_sid[first_idx].astype(np.int64)
+
+        with self.timer.phase("resolve.nw"):
+            results = self._run_nw_pairs(
+                cr, cs, qlens, d_qp, d_dp, d_qlen, d_dlen
+            )
+        verdicts: Dict[int, Tuple[int, int, int]] = {}
+        for k, (length, idents, ylen) in enumerate(results):
+            if (
+                length / ylen >= cfg.min_coverage
+                and idents / length >= cfg.min_identity
             ):
-                r = r_sel[k]
-                if (
-                    length / ylen >= cfg.min_coverage
-                    and idents / length >= cfg.min_identity
-                ):
-                    resolved[r] = True
-                    del heads[r]
-                    accepted_records.append(
-                        AcceptedRead(
-                            r, s_sel[k], length, idents, ylen, nst,
-                            chain_dev=cdev, chain_row=crow,
-                        )
-                    )
-                else:
-                    rejected.setdefault(r, set()).add(s_sel[k])
-                    heads[r] += 1
+                verdicts[int(ck[k])] = (length, idents, ylen)
+            else:
+                rejected_keys.add(int(ck[k]))
+
+        # Replay the stream: first candidate whose pair accepts wins.
+        for i in range(len(pass_r)):
+            r = int(pass_r[i])
+            if resolved[r]:
+                continue
+            v = verdicts.get(int(key[i]))
+            if v is not None:
+                resolved[r] = True
+                accepted_records.append(AcceptedRead(r, int(pass_sid[i]), *v))
 
     # ------------------------------------------------------------------
     def compare(self, q: SeqInfo) -> PipelineResult:
@@ -527,7 +537,7 @@ class TpuEngine:
         self._row_len = window
 
         resolved = np.zeros(n, bool)
-        rejected: Dict[int, Set[int]] = {}
+        rejected_keys: Set[int] = set()
         accepted_records: List[AcceptedRead] = []
 
         if idx.n_entries and n and Ccum[-1]:
@@ -547,6 +557,7 @@ class TpuEngine:
                     )
                 )
                 d_dlen = self._d_dlen
+                self._last_dev = (d_qp, d_dp, d_qlen, d_dlen)
             q_start = q.start.astype(np.int64)
 
             def build_flat(read_ids, from_rank, to_rank):
@@ -601,22 +612,13 @@ class TpuEngine:
                     passes = self._gate(
                         rids, hits, qoffs, thr, d_thr, d_qp, d_qlen, window
                     )
-                # group passing candidates by read, stream order preserved
+                # flat passing candidates, stream order preserved (rids is
+                # non-decreasing along the flat stream)
                 pidx = np.flatnonzero(passes)
-                pass_lists: Dict[int, List[int]] = {}
-                if len(pidx):
-                    sids = idx.sid[hits[pidx]]
-                    # group by read (rids is non-decreasing along the flat
-                    # stream); np.split is per-read, not per-candidate
-                    pr = rids[pidx]
-                    starts = np.concatenate(
-                        ([0], np.flatnonzero(np.diff(pr)) + 1)
-                    )
-                    for a, b in zip(starts, np.append(starts[1:], len(pr))):
-                        pass_lists[int(pr[a])] = sids[a:b].tolist()
-                self._pick_and_align(
-                    pass_lists, qlens, rejected, resolved,
-                    accepted_records, d_qp, d_dp, d_qlen, d_dlen, cfg,
+                self._align_and_accept(
+                    rids[pidx], idx.sid[hits[pidx]], qlens, rejected_keys,
+                    resolved, accepted_records, d_qp, d_dp, d_qlen, d_dlen,
+                    cfg,
                 )
 
             with self.timer.phase("resolve"):
@@ -652,25 +654,46 @@ class TpuEngine:
         )
 
     # ------------------------------------------------------------------
-    @staticmethod
-    def _materialize_chains(records: List[AcceptedRead]) -> None:
-        """Fetch traceback chains from device, batched per chunk buffer
-        (one gather + one transfer per NW chunk that produced accepts)."""
-        by_buf: Dict[int, Tuple[object, List[AcceptedRead]]] = {}
-        for rec in records:
-            if rec.chain is not None or rec.chain_dev is None:
-                continue
-            key = id(rec.chain_dev)
-            by_buf.setdefault(key, (rec.chain_dev, []))[1].append(rec)
-        picked = [
-            (buf[jnp.asarray(np.array([r.chain_row for r in recs], np.int32))],
-             recs)
-            for buf, recs in by_buf.values()
-        ]
-        fetched = jax.device_get([g for g, _ in picked])
-        for (_, recs), rows in zip(picked, fetched):
-            for k, rec in enumerate(recs):
-                rec.chain = rows[k]
+    def _materialize_chains(self, records: List[AcceptedRead]) -> None:
+        """Produce traceback chains for accepted pairs by re-running the
+        backpointer kernel + traceback on exactly those pairs (the accept
+        path used the stats-only aligner, which writes no bp tensor --
+        accepted pairs are the only ones whose path must be rendered).
+        Cross-checks the two aligners: stats must equal traceback stats."""
+        todo = [rec for rec in records if rec.chain is None]
+        if not todo:
+            return
+        assert self._last_dev is not None, "render before compare"
+        d_qp, d_dp, d_qlen, d_dlen = self._last_dev
+        r_ids = np.array([rec.qread for rec in todo], np.int64)
+        sids = np.array([rec.dbread for rec in todo], np.int64)
+        qlens = np.zeros(int(r_ids.max()) + 1, np.int64)
+        for rec in todo:
+            qlens[rec.qread] = rec.ylen
+        saved_cells = self._nw_cells  # render work isn't compare GCUPS
+        pending = []
+        for chunk, rpad, spad, L in self._nw_chunks(
+            r_ids, sids, qlens, self.cfg.nw_render_batches
+        ):
+            res = nw_traceback_rows(
+                d_qp, d_dp, jnp.asarray(rpad), jnp.asarray(spad),
+                d_qlen, d_dlen, self.cfg.igap, self.cfg.egap,
+                max_len=L, use_pallas=self._use_pallas,
+            )
+            pending.append((chunk, res))
+        self._nw_cells = saved_cells
+        flat = jax.device_get(
+            [a for _, res in pending
+             for a in (res.length, res.identities, res.n_steps, res.chain)]
+        )
+        for ci, (chunk, _res) in enumerate(pending):
+            lengths, idents, nsteps, chains = flat[4 * ci : 4 * ci + 4]
+            for b, i in enumerate(chunk):
+                rec = todo[i]
+                assert int(lengths[b]) == rec.length
+                assert int(idents[b]) == rec.identities
+                rec.n_steps = int(nsteps[b])
+                rec.chain = chains[b]
 
     def render_report(self, q: SeqInfo, result: PipelineResult) -> bytes:
         """Byte-identical -out file content (records in read order, matching

@@ -52,7 +52,7 @@ def test_pipeline_parity_small_round(tmp_path):
     # tiny candidate windows force multi-round resolution
     _compare(
         tmp_path, 23,
-        cfg_kw={"first_window": 4, "gate_chunks": (64, 32), "nw_batch": 8},
+        cfg_kw={"first_window": 4, "gate_chunks": (64, 32), "nw_stats_batches": (8,), "nw_render_batches": (8,)},
         n_query=25, n_db=25, read_len=150, sub_rate=0.08, indel_rate=0.03,
     )
 
