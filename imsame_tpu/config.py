@@ -64,6 +64,12 @@ class Config:
     length_buckets: tuple = (128, 256, 512, 1024, 2048, 3072)
     # Use the Pallas NW kernel when on TPU; fall back to pure-jnp otherwise.
     use_pallas: Optional[bool] = None  # None = auto-detect
+    # Device mesh (data, dict) for the production engine (SURVEY.md 2a):
+    # "auto" = use every visible device on the data axis when the batch
+    # shapes divide evenly (single-device otherwise); None = single-device;
+    # (n_data, n_dict) = explicit.  The dict axis shards the sorted-index
+    # payload by row range (capacity, not speed -- see parallel/sharded.py).
+    mesh_shape: object = "auto"
     # When set, each compare() is wrapped in a jax.profiler trace written
     # here (open with TensorBoard / xprof; SURVEY.md 5.1).
     profile_dir: Optional[str] = None

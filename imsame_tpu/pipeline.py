@@ -60,6 +60,8 @@ from .ops.extend_packed import pack_read_rows
 from .ops.resolve import nw_stats_rows, nw_traceback_rows
 from .utils.timing import PhaseTimer
 
+from jax.sharding import NamedSharding, PartitionSpec as _P
+
 
 @dataclasses.dataclass
 class AcceptedRead:
@@ -138,14 +140,24 @@ class TpuEngine:
             if db.n_seqs
             else self.cfg.length_buckets[0]
         )
+        self._mesh = self._make_mesh()
+        self._gate_steps: Dict[int, object] = {}
+        self._nw_stats_steps: Dict[int, object] = {}
+        self._nw_render_steps: Dict[int, object] = {}
         self._dp_cache: Dict[int, jax.Array] = {}
         # Engine-fixed device tables, pow2-padded for cross-sample shape
-        # reuse (padding entries are masked or clipped on device).
-        i32p = lambda a, fill=0: jnp.asarray(
+        # reuse (padding entries are masked or clipped on device).  With a
+        # mesh, the index payload -- the large per-base array -- is
+        # sharded by row range over 'dict'; everything else replicates.
+        i32p = lambda a, fill=0: self._put(
             _pad_pow2_1d(np.asarray(a, np.int32), fill)
         )
-        self._d_idx_pos = i32p(self.index.pos)
-        self._d_idx_sid = i32p(self.index.sid)
+        idx_pos = _pad_pow2_1d(np.asarray(self.index.pos, np.int32), 0)
+        idx_sid = _pad_pow2_1d(np.asarray(self.index.sid, np.int32), 0)
+        n_dict = self._mesh.shape["dict"] if self._mesh else 1
+        self._shard_rows = len(idx_pos) // n_dict
+        self._d_idx_pos = self._put_dict(idx_pos)
+        self._d_idx_sid = self._put_dict(idx_sid)
         self._d_db_start = i32p(db.start)
         self._d_dlen = i32p(self.db_read_lens, 2)
         self._nw_cells = 0
@@ -154,14 +166,79 @@ class TpuEngine:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self._use_pallas = use_pallas
-        self._nw_stats_fn = nw_stats_rows
         # Device handles of the last compare()'s query-side tables; the
         # render path re-runs the bp kernel on accepted pairs from these.
         self._last_dev: Optional[Tuple] = None
 
+    # ------------------------------------------------------------------
+    # Mesh plumbing (SURVEY.md 2a: data axis = the reference's pthread
+    # split of query work, src/IMSAME.c:414-462; dict axis = sharded
+    # Container payload, src/alignmentFunctions.h:4-6).
+    def _make_mesh(self):
+        ms = self.cfg.mesh_shape
+        if ms is None:
+            return None
+        from .parallel.mesh import make_mesh
+
+        if ms == "auto":
+            nd = len(jax.devices())
+            if nd <= 1:
+                return None
+            # Largest data-axis width every fixed batch shape divides
+            # into evenly (gate chunks need n_data*32 lanes for the
+            # per-shard bit packing; NW batches need n_data*8 sublanes).
+            d = nd
+            while d > 1 and (
+                any(c % (d * 32) for c in self.cfg.gate_chunks)
+                or any(b % (d * 8) for b in self.cfg.nw_stats_batches)
+                or any(b % (d * 8) for b in self.cfg.nw_render_batches)
+            ):
+                d //= 2
+            if d <= 1:
+                return None
+            return make_mesh(n_data=d, n_dict=1)
+        n_data, n_dict = ms
+        if n_data * n_dict <= 1:
+            return None
+        if any(c % (n_data * 32) for c in self.cfg.gate_chunks) or any(
+            b % (n_data * n_dict * 8)
+            for b in self.cfg.nw_stats_batches + self.cfg.nw_render_batches
+        ):
+            raise ValueError(
+                "gate_chunks / NW batch shapes must divide evenly over the "
+                "mesh (n_data*32 and n_data*n_dict*8 respectively)"
+            )
+        return make_mesh(n_data=n_data, n_dict=n_dict)
+
+    def _put(self, x) -> jax.Array:
+        """Replicate across the mesh (or plain upload, single-device)."""
+        if self._mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(x, NamedSharding(self._mesh, _P()))
+
+    def _put_dict(self, x) -> jax.Array:
+        """Shard the index payload by row range over 'dict'."""
+        if self._mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(x, NamedSharding(self._mesh, _P("dict")))
+
+    def _put_cand(self, x) -> jax.Array:
+        """Shard a [2, N] candidate chunk over 'data'."""
+        if self._mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(x, NamedSharding(self._mesh, _P(None, "data")))
+
+    def _put_pair(self, x) -> jax.Array:
+        """Shard a [2, B] NW pair batch over both axes flattened."""
+        if self._mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(
+            x, NamedSharding(self._mesh, _P(None, ("data", "dict")))
+        )
+
     def _packed_db_rows(self, row_len: int) -> jax.Array:
         if row_len not in self._dp_cache:
-            self._dp_cache[row_len] = jnp.asarray(
+            self._dp_cache[row_len] = self._put(
                 _pad_pow2_rows(
                     pack_read_rows(
                         self.db.codes, self.db.start,
@@ -303,16 +380,8 @@ class TpuEngine:
         for chunk, rpad, spad, L in self._nw_chunks(
             r_ids, sids, qlens, self.cfg.nw_stats_batches
         ):
-            res = self._nw_stats_fn(
-                d_qp,
-                d_dp,
-                jnp.asarray(np.stack([rpad, spad])),
-                d_qlen,
-                d_dlen,
-                self.cfg.igap,
-                self.cfg.egap,
-                max_len=L,
-                use_pallas=self._use_pallas,
+            res = self._nw_stats_dispatch(
+                d_qp, d_dp, np.stack([rpad, spad]), d_qlen, d_dlen, L
             )
             pending.append((chunk, res))
 
@@ -344,6 +413,11 @@ class TpuEngine:
         if N == 0:
             return out
         packed = len(thr) < (1 << 20)
+        if self._mesh is not None and not packed:
+            raise NotImplementedError(
+                "mesh engine requires the packed gate (query < 2^20 reads); "
+                "split the query or set mesh_shape=None"
+            )
         if packed:
             rq = (rids32.astype(np.uint32) << np.uint32(12)) | qoffs.astype(
                 np.uint32
@@ -396,17 +470,14 @@ class TpuEngine:
                 cand = np.zeros((2, size), np.int32)
                 cand[0, :take] = hits[sl]
                 cand[1, :take] = b[sl].view(np.int32)
-                bits = flat_gate_packed(
+                bits = self._gate_dispatch(
                     d_qp,
                     self._dp_cache[self._row_len],
                     d_qlen,
                     self._d_dlen,
-                    self._d_idx_pos,
-                    self._d_idx_sid,
-                    self._d_db_start,
-                    jnp.asarray(cand),
+                    self._put_cand(cand),
                     c,
-                    window=window,
+                    window,
                 )
             else:
                 hpad = np.zeros(size, np.int32)
@@ -445,6 +516,62 @@ class TpuEngine:
             passes[pos : pos + take] = flat[0, :take]
             exact[pos : pos + take] = flat[1, :take]
         return passes, exact
+
+    def _gate_dispatch(self, d_qp, d_dp, d_qlen, d_dlen, cand, thr_tab, window):
+        """Single-device flat gate or the mesh-sharded twin."""
+        if self._mesh is None:
+            return flat_gate_packed(
+                d_qp, d_dp, d_qlen, d_dlen,
+                self._d_idx_pos, self._d_idx_sid, self._d_db_start,
+                cand, thr_tab, window=window,
+            )
+        step = self._gate_steps.get(window)
+        if step is None:
+            from .parallel.sharded import make_engine_gate_step
+
+            step = make_engine_gate_step(self._mesh, window, self._shard_rows)
+            self._gate_steps[window] = step
+        return step(
+            d_qp, d_dp, d_qlen, d_dlen,
+            self._d_idx_pos, self._d_idx_sid, self._d_db_start,
+            cand, thr_tab,
+        )
+
+    def _nw_stats_dispatch(self, d_qp, d_dp, rs, d_qlen, d_dlen, L):
+        if self._mesh is None:
+            return nw_stats_rows(
+                d_qp, d_dp, jnp.asarray(rs), d_qlen, d_dlen,
+                self.cfg.igap, self.cfg.egap,
+                max_len=L, use_pallas=self._use_pallas,
+            )
+        step = self._nw_stats_steps.get(L)
+        if step is None:
+            from .parallel.sharded import make_engine_nw_stats_step
+
+            step = make_engine_nw_stats_step(self._mesh, L, self._use_pallas)
+            self._nw_stats_steps[L] = step
+        return step(
+            d_qp, d_dp, self._put_pair(rs), d_qlen, d_dlen,
+            self.cfg.igap, self.cfg.egap,
+        )
+
+    def _nw_render_dispatch(self, d_qp, d_dp, rs, d_qlen, d_dlen, L):
+        if self._mesh is None:
+            return nw_traceback_rows(
+                d_qp, d_dp, jnp.asarray(rs[0]), jnp.asarray(rs[1]),
+                d_qlen, d_dlen, self.cfg.igap, self.cfg.egap,
+                max_len=L, use_pallas=self._use_pallas,
+            )
+        step = self._nw_render_steps.get(L)
+        if step is None:
+            from .parallel.sharded import make_engine_nw_render_step
+
+            step = make_engine_nw_render_step(self._mesh, L, self._use_pallas)
+            self._nw_render_steps[L] = step
+        return step(
+            d_qp, d_dp, self._put_pair(rs), d_qlen, d_dlen,
+            self.cfg.igap, self.cfg.egap,
+        )
 
     def _align_and_accept(
         self,
@@ -542,16 +669,16 @@ class TpuEngine:
 
         if idx.n_entries and n and Ccum[-1]:
             with self.timer.phase("upload"):
-                d_qp = jnp.asarray(
+                d_qp = self._put(
                     _pad_pow2_rows(
                         pack_read_rows(q.codes, q.start, qlens, window)
                     )
                 )
                 d_dp = self._packed_db_rows(window)
-                d_qlen = jnp.asarray(
+                d_qlen = self._put(
                     _pad_pow2_1d(np.asarray(qlens, np.int32), 2)
                 )
-                d_thr = jnp.asarray(
+                d_thr = self._put(
                     _pad_pow2_1d(
                         np.asarray(thr, np.int32), np.iinfo(np.int32).max
                     )
@@ -675,10 +802,8 @@ class TpuEngine:
         for chunk, rpad, spad, L in self._nw_chunks(
             r_ids, sids, qlens, self.cfg.nw_render_batches
         ):
-            res = nw_traceback_rows(
-                d_qp, d_dp, jnp.asarray(rpad), jnp.asarray(spad),
-                d_qlen, d_dlen, self.cfg.igap, self.cfg.egap,
-                max_len=L, use_pallas=self._use_pallas,
+            res = self._nw_render_dispatch(
+                d_qp, d_dp, np.stack([rpad, spad]), d_qlen, d_dlen, L
             )
             pending.append((chunk, res))
         self._nw_cells = saved_cells
