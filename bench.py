@@ -10,6 +10,9 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Set IMSAME_BENCH_READS to scale the workload (default 20000).
+Set IMSAME_BENCH_PARITY=1 to additionally run the compiled reference binary
+on the same workload (written out as FASTA) and byte-compare the reports --
+the SURVEY.md section 4.1 check at bench scale; adds "parity" to the JSON.
 """
 
 import json
@@ -48,6 +51,47 @@ def codes_to_seqinfo(reads: np.ndarray):
     return SeqInfo(codes=codes, start=start, fresh=fresh, headers=[b""] * n)
 
 
+def check_parity(eng, q, res, qc, dbc) -> str:
+    """Write the bench workload as FASTA, run the compiled reference binary
+    on it, and byte-compare reports (n_threads=1 on both sides, so record
+    order is deterministic).  Returns 'byte-identical' or raises."""
+    import sys as _sys
+    import tempfile
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    from util_synth import (
+        parse_reference_summary,
+        reference_binaries,
+        run_reference,
+    )
+
+    ref = reference_binaries()
+    if ref is None:
+        return "reference unavailable"
+    chars = np.frombuffer(b"ACGT", np.uint8)
+    with tempfile.TemporaryDirectory() as td:
+        td = Path(td)
+        for name, mat in (("q.fa", qc), ("db.fa", dbc)):
+            with open(td / name, "wb") as f:
+                for i in range(mat.shape[0]):
+                    f.write(b">r%d\n" % i)
+                    f.write(chars[mat[i]].tobytes())
+                    f.write(b"\n")
+        ref_out = td / "ref.align"
+        stdout = run_reference(
+            ref[0], td / "q.fa", td / "db.fa", ref_out, n_threads=1
+        )
+        accepted_ref, _, _ = parse_reference_summary(stdout)
+        assert res.accepted == accepted_ref, (
+            f"accepted mismatch: engine {res.accepted} vs "
+            f"reference {accepted_ref}"
+        )
+        report = eng.render_report(q, res)
+        assert report == ref_out.read_bytes(), "report bytes differ"
+    return "byte-identical"
+
+
 def main() -> int:
     n_reads = int(os.environ.get("IMSAME_BENCH_READS", "20000"))
     read_len = 250
@@ -82,6 +126,10 @@ def main() -> int:
     runs.sort(key=lambda x: x[0])
     t_align, res, timings = runs[0]
 
+    parity = None
+    if os.environ.get("IMSAME_BENCH_PARITY"):
+        parity = check_parity(eng, q, res, qc, dbc)
+
     reads_per_s = n_reads / t_align
     gcups = res.nw_cells / t_align / 1e9
     payload = {
@@ -99,6 +147,7 @@ def main() -> int:
             "gcups": round(gcups, 3),
             "candidates": res.n_candidates,
             "align_seconds_runs": [round(t, 3) for t, _, _ in runs],
+            **({"parity": parity} if parity is not None else {}),
             "timings": {k: round(v, 3) for k, v in timings.items()},
         },
     }

@@ -80,6 +80,26 @@ class SeqInfo:
         """One-past-last index of read r in the concatenated array."""
         return int(self.start[r + 1]) if r + 1 < self.n_seqs else self.total_len
 
+    def slice_reads(self, lo: int, hi: int) -> "SeqInfo":
+        """SeqInfo holding reads [lo, hi).  The first read of the slice
+        starts a fresh k-mer window, like the first read of a reference
+        worker thread (src/alignmentFunctions.c:93-105)."""
+        lo = max(0, min(lo, self.n_seqs))
+        hi = max(lo, min(hi, self.n_seqs))
+        if lo == 0 and hi == self.n_seqs:
+            return self
+        b = int(self.start[lo]) if lo < self.n_seqs else self.total_len
+        e = int(self.start[hi]) if hi < self.n_seqs else self.total_len
+        fresh = self.fresh[b:e].copy()
+        if len(fresh):
+            fresh[0] = True
+        return SeqInfo(
+            codes=self.codes[b:e],
+            start=self.start[lo:hi] - b,
+            fresh=fresh,
+            headers=self.headers[lo:hi],
+        )
+
 
 def parse_fasta_bytes(data: bytes) -> SeqInfo:
     """Parse FASTA content into a SeqInfo, reproducing reference ingest."""

@@ -16,6 +16,7 @@ list across hosts round-robin; each host only computes its own shard
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import json
 import os
@@ -24,6 +25,7 @@ from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 from .config import Config
+from .index.kmer import build_index, load_index, save_index
 from .io.fasta import SeqInfo, parse_fasta_bytes, revcomp_fasta_bytes
 from .io.report import jaccard_index
 from .pipeline import TpuEngine
@@ -70,22 +72,63 @@ class AllVsAllRunner:
         cfg: Optional[Config] = None,
         host_id: int = 0,
         n_hosts: int = 1,
+        max_engines: int = 2,
+        max_queries: int = 4,
+        index_cache: bool = True,
     ):
         self.outdir = Path(outdir)
         self.outdir.mkdir(parents=True, exist_ok=True)
         self.cfg = cfg or Config()
         self.host_id = host_id
         self.n_hosts = n_hosts
-        # Engines (and their device-resident indexes) cached per db sample.
-        self._engines: Dict[Tuple[str, bool], TpuEngine] = {}
-        self._queries: Dict[str, SeqInfo] = {}
+        # Engines hold device-resident indexes (~8 B per db base): LRU-bound
+        # so a 50-sample sweep (BASELINE config 5) never holds more than
+        # max_engines samples' tables on device; jobs are grouped by
+        # (db, reverse) below so eviction is rare.
+        self.max_engines = max_engines
+        self.max_queries = max_queries
+        self.index_cache = index_cache
+        self._engines: "collections.OrderedDict[Tuple[str, bool], TpuEngine]" = (
+            collections.OrderedDict()
+        )
+        self._queries: "collections.OrderedDict[str, SeqInfo]" = (
+            collections.OrderedDict()
+        )
 
     def _load_query(self, job: PairJob) -> SeqInfo:
         q = self._queries.get(job.qname)
         if q is None:
             q = parse_fasta_bytes(job.qpath.read_bytes())
             self._queries[job.qname] = q
+        self._queries.move_to_end(job.qname)
+        while len(self._queries) > self.max_queries:
+            self._queries.popitem(last=False)
         return q
+
+    def _index_for(self, key: Tuple[str, bool], db: SeqInfo):
+        """Per-sample persisted index (SURVEY.md 5.4): built once per
+        (sample, strand) per sweep, reloaded on resume instead of rebuilt
+        (the reference rebuilds from FASTA every run)."""
+        if not self.index_cache:
+            return None
+        cache_dir = self.outdir / ".index"
+        cache_dir.mkdir(exist_ok=True)
+        path = cache_dir / f"{key[0]}{'.r' if key[1] else ''}.npz"
+        if path.exists():
+            try:
+                idx = load_index(str(path))
+                if (
+                    idx.db_total_len == db.total_len
+                    and idx.db_n_seqs == db.n_seqs
+                ):
+                    return idx
+            except Exception:
+                pass  # corrupt/stale cache entry: rebuild below
+        idx = build_index(db)
+        tmp = path.with_suffix(".npz.tmp.npz")
+        save_index(idx, str(tmp))
+        os.replace(tmp, path)
+        return idx
 
     def _engine_for(self, job: PairJob) -> TpuEngine:
         key = (job.dbname, job.reverse)
@@ -94,20 +137,30 @@ class AllVsAllRunner:
             data = job.dbpath.read_bytes()
             if job.reverse:
                 data = revcomp_fasta_bytes(data)
-            eng = TpuEngine(parse_fasta_bytes(data), self.cfg)
+            db = parse_fasta_bytes(data)
+            eng = TpuEngine(db, self.cfg, index=self._index_for(key, db))
             self._engines[key] = eng
+        self._engines.move_to_end(key)
+        while len(self._engines) > self.max_engines:
+            self._engines.popitem(last=False)
         return eng
 
     def run(self, samples: List[Tuple[str, Path]]) -> Dict[str, dict]:
         """Run all pair jobs assigned to this host; returns per-pair stats.
 
-        Jobs whose output file already exists are skipped (resume)."""
-        jobs = make_jobs(samples)
+        Jobs whose output file already exists are skipped (resume).  This
+        host's jobs are grouped by (db, reverse) so the LRU engine cache
+        (device-resident index + packed rows) is reused across every pair
+        sharing a database sample."""
+        jobs = [
+            job
+            for k, job in enumerate(make_jobs(samples))
+            if k % self.n_hosts == self.host_id
+        ]
+        jobs.sort(key=lambda j: (j.dbname, j.reverse))
         stats: Dict[str, dict] = {}
         failures: Dict[str, str] = {}
-        for k, job in enumerate(jobs):
-            if k % self.n_hosts != self.host_id:
-                continue
+        for job in jobs:
             out_path = self.outdir / job.out_name
             stats_path = self.outdir / (job.out_name + ".json")
             if out_path.exists():
@@ -167,9 +220,22 @@ def main(argv=None) -> int:
     p.add_argument("outpath")
     p.add_argument("--host-id", type=int, default=0)
     p.add_argument("--n-hosts", type=int, default=1)
+    p.add_argument(
+        "--distributed",
+        action="store_true",
+        help="initialize jax.distributed from IMSAME_COORDINATOR / "
+        "IMSAME_NUM_PROCESSES / IMSAME_PROCESS_ID and derive the pair "
+        "stripe from the process id (imsame_tpu/distributed.py)",
+    )
     a = p.parse_args(argv)
+    host_id, n_hosts = a.host_id, a.n_hosts
+    if a.distributed:
+        from .distributed import init_distributed
+
+        ctx = init_distributed()
+        host_id, n_hosts = ctx.process_id, ctx.num_processes
     cfg = Config(min_coverage=a.coverage, min_identity=a.similarity)
-    runner = AllVsAllRunner(a.outpath, cfg, a.host_id, a.n_hosts)
+    runner = AllVsAllRunner(a.outpath, cfg, host_id, n_hosts)
     stats = runner.run(list_samples(a.directory, a.extension))
     for name, s in sorted(stats.items()):
         print(f"{name}: accepted={s['accepted']} jaccard={s['jaccard']:.6e}")

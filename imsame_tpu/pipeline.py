@@ -127,13 +127,21 @@ def _pad_pow2_rows(a: np.ndarray, min_size: int = 256) -> np.ndarray:
 class TpuEngine:
     """Compare query samples against one database sample on device."""
 
-    def __init__(self, db: SeqInfo, cfg: Optional[Config] = None):
+    def __init__(
+        self,
+        db: SeqInfo,
+        cfg: Optional[Config] = None,
+        index: Optional[KmerIndex] = None,
+    ):
         self.db = db
         self.cfg = cfg or Config()
         self.cfg.validate()
         self.timer = PhaseTimer()
         with self.timer.phase("index_build"):
-            self.index: KmerIndex = build_index(db)
+            # A prebuilt index (load_index; orchestrator per-sample reuse,
+            # SURVEY.md 5.4) skips the build; the reference rebuilds its
+            # dictionary from FASTA every run (src/IMSAME.c:196-289).
+            self.index: KmerIndex = index if index is not None else build_index(db)
         self.db_read_lens = db.read_lens()
         self._db_bucket = (
             self._nw_bucket(int(self.db_read_lens.max()))

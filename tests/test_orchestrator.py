@@ -141,3 +141,36 @@ def test_failure_isolation(tmp_path):
     failp = out / "failures.host0.json"
     assert json.loads(failp.read_text())["a-b.r.align"].startswith("RuntimeError")
     assert not (out / "a-b.r.align").exists()  # eligible for resume/retry
+
+
+def test_engine_cache_lru_bound_and_index_persistence(tmp_path):
+    """BASELINE config 5 hardening: a sweep holds at most max_engines
+    device-resident engines, and each sample's index is built once and
+    reloaded from the per-sweep cache on resume."""
+    import random
+
+    from imsame_tpu.orchestrator import AllVsAllRunner, list_samples
+    from util_synth import random_read, write_fasta
+
+    rng = random.Random(5)
+    d = tmp_path / "samples"
+    d.mkdir()
+    for i in range(4):
+        write_fasta(d / f"s{i}.fasta", [random_read(rng, 150) for _ in range(6)])
+    out = tmp_path / "out"
+    runner = AllVsAllRunner(str(out), max_engines=2)
+    samples = list_samples(str(d), "fasta")
+    runner.run(samples)
+    assert len(runner._engines) <= 2
+    # one persisted index per (db sample, strand) that served as a db
+    idx_files = sorted(p.name for p in (out / ".index").glob("*.npz"))
+    assert len(idx_files) == len({(j.dbname, j.reverse) for j in
+                                  __import__("imsame_tpu.orchestrator",
+                                             fromlist=["make_jobs"])
+                                  .make_jobs(samples)})
+
+    # resume in a fresh runner: outputs exist, so no engine is built
+    runner2 = AllVsAllRunner(str(out), max_engines=2)
+    stats = runner2.run(samples)
+    assert len(runner2._engines) == 0
+    assert len(stats) == 12  # 6 pairs x 2 strands
