@@ -1,0 +1,76 @@
+"""Scaling-efficiency measurement for the mesh-integrated engine.
+
+Only one real TPU chip is reachable in this environment, so true
+multi-chip efficiency cannot be measured on hardware; this harness
+measures what CAN be measured honestly:
+
+  1. per-device work partitioning: the sharded engine's candidate chunks
+     and NW batches divide exactly over the mesh (no duplicated alignment
+     work; the dict axis duplicates only the cheap extension pass when
+     n_dict > 1), so device-compute scaling is structural;
+  2. sharding overhead: wall time of the identical workload through
+     mesh=(N,1) vs the single-device engine on N virtual CPU devices.
+     On a shared-core host this bounds the *overhead* of the sharded
+     program (collectives, resharding, dispatch), not the speedup.
+
+Prints one JSON line per mesh configuration plus a summary line with
+``overhead`` = T_mesh / T_single (1.0 = free sharding).  Run with
+JAX_PLATFORMS unset; the script forces an 8-virtual-device CPU backend.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    os.environ.pop("JAX_PLATFORMS", None)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from bench import codes_to_seqinfo, synth_pair
+    from imsame_tpu.config import Config
+    from imsame_tpu.pipeline import TpuEngine
+
+    n_reads = int(os.environ.get("IMSAME_BENCH_READS", "4000"))
+    qc, dbc = synth_pair(n_reads, 250, 0.5, seed=999)
+    q = codes_to_seqinfo(qc)
+    db = codes_to_seqinfo(dbc)
+
+    results = {}
+    for shape in (None, (2, 1), (4, 1), (8, 1), (4, 2)):
+        eng = TpuEngine(db, Config(mesh_shape=shape))
+        eng.compare(q)  # warmup: compile every shape
+        t0 = time.perf_counter()
+        res = eng.compare(q)
+        dt = time.perf_counter() - t0
+        key = "single" if shape is None else f"{shape[0]}x{shape[1]}"
+        results[key] = round(dt, 3)
+        print(json.dumps({
+            "mesh": key, "seconds": round(dt, 3),
+            "reads_per_s": round(n_reads / dt, 1),
+            "accepted": res.accepted,
+        }))
+    overhead = {
+        k: round(v / results["single"], 3) for k, v in results.items()
+        if k != "single"
+    }
+    print(json.dumps({
+        "metric": "sharding overhead (T_mesh / T_single, virtual CPU mesh)",
+        "value": overhead.get("8x1"),
+        "unit": "x",
+        "overhead_by_mesh": overhead,
+        "n_reads": n_reads,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

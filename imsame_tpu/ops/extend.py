@@ -39,10 +39,18 @@ SEED_SCORE = FIXED_K * POINT  # 48
 def raw_score_threshold(
     qlens: np.ndarray, db_total_len: int, min_e_value: float
 ) -> np.ndarray:
-    """Per-read minimum integer raw score passing the e-value gate.
+    """Per-read minimum integer raw score passing the e-value gate,
+    bit-exact against the reference's long-double comparison.
 
-    Host float64; returns int32 thresholds (int32 max = never passes).
-    """
+    The reference computes
+    ``e_value = (long double)QF_KARLIN * qlen * total_len * expl(-QF_LAMBDA*raw)``
+    and gates with strict ``<`` (src/alignmentFunctions.c:384 + :139).  A
+    float64 log-space estimate can land within rounding of an integer, so
+    the estimate is corrected by evaluating the reference's exact
+    expression in ``np.longdouble`` -- the same 80-bit x87 type and the
+    same libm ``expl`` gcc compiles to on this platform -- at the two
+    neighboring integers.  Returns int32 thresholds (int32 max = never
+    passes)."""
     qlens = qlens.astype(np.float64)
     out = np.full(len(qlens), np.iinfo(np.int32).max, dtype=np.int64)
     if min_e_value > 0:
@@ -60,6 +68,30 @@ def raw_score_threshold(
         out = np.clip(thr, np.iinfo(np.int32).min, np.iinfo(np.int32).max).astype(
             np.int64
         )
+        # Long-double boundary correction, mirroring the reference's
+        # operand order and promotions: C double literals promoted to
+        # long double, left-associated products, expl.
+        finite = (qlens > 0) & (out < np.iinfo(np.int32).max) & (
+            out > np.iinfo(np.int32).min
+        )
+        if np.any(finite):
+            lam = np.longdouble(np.float64(QF_LAMBDA))
+            base = (
+                np.longdouble(np.float64(QF_KARLIN))
+                * qlens[finite].astype(np.longdouble)
+                * np.longdouble(float(db_total_len))
+            )
+            e0 = np.longdouble(np.float64(min_e_value))
+            sub = out[finite]
+
+            def passes(raw):
+                return base * np.exp(-lam * raw.astype(np.longdouble)) < e0
+
+            # E is strictly decreasing in raw; the float64 estimate is
+            # within 1 of the exact boundary.
+            sub = np.where(passes(sub - 1), sub - 1, sub)
+            sub = np.where(passes(sub), sub, sub + 1)
+            out[finite] = sub
     return out.astype(np.int32)
 
 

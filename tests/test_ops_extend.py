@@ -107,3 +107,31 @@ def test_threshold_endpoints():
     assert thr[1] == math.floor(t) + 1
     thr0 = raw_score_threshold(np.array([100]), 10000, 0.0)
     assert thr0[0] == np.iinfo(np.int32).max  # min_e == 0 never passes
+
+
+def test_raw_score_threshold_longdouble_exact():
+    """The integer threshold is the exact smallest raw score whose
+    long-double e-value (the reference's expression and types,
+    src/alignmentFunctions.c:384) is strictly below min_e_value --
+    verified by brute-force longdouble scan around the boundary."""
+    import numpy as np
+
+    from imsame_tpu.constants import QF_KARLIN, QF_LAMBDA
+    from imsame_tpu.ops.extend import raw_score_threshold
+
+    assert np.finfo(np.longdouble).machep <= -63, "x86-64 80-bit expected"
+    rng = np.random.default_rng(11)
+    qlens = rng.integers(50, 3000, 64).astype(np.int64)
+    dlen = int(rng.integers(10**5, 10**8))
+    for e0 in (1e-20, 1e-10, 1e-40, 0.001, 1.0):
+        thr = raw_score_threshold(qlens, dlen, e0)
+        lam = np.longdouble(np.float64(QF_LAMBDA))
+        kar = np.longdouble(np.float64(QF_KARLIN))
+        e0l = np.longdouble(np.float64(e0))
+        for q, t in zip(qlens, thr):
+            base = kar * np.longdouble(q) * np.longdouble(dlen)
+            E = lambda raw: base * np.exp(-lam * np.longdouble(raw))
+            assert E(t) < e0l, f"threshold {t} does not pass (q={q}, e0={e0})"
+            assert not (E(t - 1) < e0l), (
+                f"threshold {t} not minimal (q={q}, e0={e0})"
+            )
