@@ -86,13 +86,33 @@ def _last_true(mask: jax.Array, size: int) -> jax.Array:
     return jnp.max(jnp.where(mask, o, -1), axis=1)
 
 
-def _window_words(packed_flat, row, wp, ws, EW):
+# Rows up to this many packed words are fetched whole (one row gather)
+# instead of as per-word element gathers: TPU row gathers run ~2x faster
+# than scattered element gathers of the same window (measured 8.8 vs 4.2
+# Mcand/s at W=32), and the in-register word extraction is free VPU work.
+# Above the threshold the full row would dwarf the window, so the flat
+# element gather wins.
+ROW_GATHER_MAX_WORDS = 32
+
+
+def _window_words(packed, row, wp, ws, EW):
     """Gather EW funnel-shifted words: word j covers bases ws+16j..ws+16j+15
-    of ``row`` (garbage outside [0, 16*wp); callers mask by bounds)."""
-    j = jnp.arange(EW + 1, dtype=jnp.int32)[None, :]
-    wi = (ws >> 4)[:, None] + j  # arithmetic shift = floor division
-    flat = row[:, None] * wp + jnp.clip(wi, 0, wp - 1)
-    W1 = jnp.take(packed_flat, flat)  # [N, EW+1] uint32
+    of ``row`` (garbage outside [0, 16*wp); callers mask by bounds).
+    ``packed`` is the [n_rows, wp] table."""
+    if wp <= ROW_GATHER_MAX_WORDS:
+        rows = packed[row]  # [N, wp] one contiguous gather per candidate
+        lane = jnp.arange(wp, dtype=jnp.int32)[None, :]
+        wi0 = (ws >> 4)[:, None]  # arithmetic shift = floor division
+        cols = []
+        for j in range(EW + 1):
+            sel = lane == jnp.clip(wi0 + j, 0, wp - 1)
+            cols.append(jnp.sum(jnp.where(sel, rows, jnp.uint32(0)), axis=1))
+        W1 = jnp.stack(cols, axis=1)  # [N, EW+1]
+    else:
+        j = jnp.arange(EW + 1, dtype=jnp.int32)[None, :]
+        wi = (ws >> 4)[:, None] + j
+        flat = row[:, None] * wp + jnp.clip(wi, 0, wp - 1)
+        W1 = jnp.take(packed.reshape(-1), flat)  # [N, EW+1] uint32
     sh = (2 * (ws & 15)).astype(jnp.uint32)[:, None]
     lo = W1[:, :-1]
     hi = W1[:, 1:]
@@ -125,8 +145,8 @@ def extend_packed(
     # base index b of the window = query base ws_q + b = db base ws_d + b.
     ws_q = qoff - (W + BASES_PER_WORD)
     ws_d = doff - (W + BASES_PER_WORD)
-    qw = _window_words(qp.reshape(-1), r, wp_q, ws_q, EW)
-    dw = _window_words(dp.reshape(-1), s, wp_d, ws_d, EW)
+    qw = _window_words(qp, r, wp_q, ws_q, EW)
+    dw = _window_words(dp, s, wp_d, ws_d, EW)
     m = ~(qw ^ dw)
     m2 = m & (m >> jnp.uint32(1)) & jnp.uint32(0x55555555)
     bitpos = (2 * jnp.arange(BASES_PER_WORD, dtype=jnp.uint32))[None, None, :]

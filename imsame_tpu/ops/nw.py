@@ -278,6 +278,11 @@ def nw_stats_batch(
     SURVEY.md 6.3 quirk), mc from T[i-2][j-1] (diag d-3, quirk 6.4), and
     both re-initialize from border cells (len = id = 0).
 
+    Both stats ride ONE int32 word w = len + (id << 16): every update is
+    an add or a select, len < 2*MAX_READ_SIZE < 2^16 never carries into
+    the id half, and the packing halves the carried wavefront state (the
+    kernel is VPU-ALU-bound, so fewer vector ops = proportionally faster).
+
     Why this exists: acceptance (coverage/identity, reference
     src/alignmentFunctions.c:163) needs only (length, identities, ylen) --
     the full chain is needed only to *render* accepted pairs.  Dropping bp
@@ -300,9 +305,9 @@ def nw_stats_batch(
     ZCOL = jnp.zeros((B, 1), jnp.int32)
 
     def body(d, carry):
-        (s1, s2, s3, l1, l2, l3, n1, n2, n3,
-         mf_s, mf_x, mf_y, mf_l, mf_n, mc_s, mc_x, mc_l, mc_n, yd,
-         bs, bi, bj, bl, bn) = carry
+        (s1, s2, s3, w1, w2, w3,
+         mf_s, mf_x, mf_y, mf_w, mc_s, mc_x, mc_w, yd,
+         bs, bi, bj, bw) = carry
         d = jnp.int32(d)
         j_idx = d - i_idx
 
@@ -312,27 +317,24 @@ def nw_stats_batch(
         valid = (j_idx >= 0) & (i_idx < xlenc) & (j_idx < ylenc)
         inner = valid & (i_idx >= 1) & (j_idx >= 1)
         s_pm = jnp.where(Xc == yd, POINT, -POINT)
-        match_i = jnp.where(Xc == yd, 1, 0)
+        # diag-move stat increment: len +1, id +match
+        diag_add = jnp.where(Xc == yd, (1 << 16) + 1, 1)
 
         t_im1_jm1 = _shift1(s2)
         t_i_jm2 = s2
         t_im1_jm2 = _shift1(s3)
         t_im2_jm1 = _shift1(_shift1(s3))
-        # path stats of the same four from-cells
-        l_im1_jm1 = _shift1(l2, 0)
-        n_im1_jm1 = _shift1(n2, 0)
-        l_im1_jm2 = _shift1(l3, 0)
-        n_im1_jm2 = _shift1(n3, 0)
-        l_im2_jm1 = _shift1(_shift1(l3, 0), 0)
-        n_im2_jm1 = _shift1(_shift1(n3, 0), 0)
+        # packed path stats of the same from-cells
+        w_im1_jm1 = _shift1(w2, 0)
+        w_im1_jm2 = _shift1(w3, 0)
+        w_im2_jm1 = _shift1(_shift1(w3, 0), 0)
 
         # --- mf update (before the cell), rows with j > 1 ---
         mf_upd = valid & (i_idx >= 1) & (j_idx >= 2) & (mf_s <= t_i_jm2)
         mf_s = jnp.where(mf_upd, t_im1_jm2, mf_s)
         mf_x = jnp.where(mf_upd, i_idx - 1, mf_x)
         mf_y = jnp.where(mf_upd, j_idx - 2, mf_y)
-        mf_l = jnp.where(mf_upd, l_im1_jm2, mf_l)
-        mf_n = jnp.where(mf_upd, n_im1_jm2, mf_n)
+        mf_w = jnp.where(mf_upd, w_im1_jm2, mf_w)
 
         # --- cell scores (identical decision logic to nw_forward_batch) ---
         score_diag = t_im1_jm1 + s_pm
@@ -355,29 +357,22 @@ def nw_stats_batch(
         add_left = jnp.where(dxl > dyl, dxl, dyl)
         dxr = i_idx - mc_x
         add_right = jnp.where(dxr > 1, dxr, 1)
-        len_new = jnp.where(
+        w_new = jnp.where(
             pick_diag,
-            l_im1_jm1 + 1,
-            jnp.where(pick_right, mc_l + add_right, mf_l + add_left),
-        )
-        id_new = jnp.where(
-            pick_diag,
-            n_im1_jm1 + match_i,
-            jnp.where(pick_right, mc_n, mf_n),
+            w_im1_jm1 + diag_add,
+            jnp.where(pick_right, mc_w + add_right, mf_w + add_left),
         )
 
         border = valid & ((i_idx == 0) | (j_idx == 0))
         cell = jnp.where(border, s_pm, cell)
         s0 = jnp.where(valid, cell, NEG)
-        l0 = jnp.where(inner, len_new, 0)
-        n0 = jnp.where(inner, id_new, 0)
+        w0 = jnp.where(inner, w_new, 0)
 
         # --- mc update (after the cell), strict >, from two rows up ---
         mc_upd = inner & (i_idx >= 2) & (j_idx >= 2) & (t_im2_jm1 > mc_s)
         mc_s = jnp.where(mc_upd, t_im2_jm1, mc_s)
         mc_x = jnp.where(mc_upd, i_idx - 2, mc_x)
-        mc_l = jnp.where(mc_upd, l_im2_jm1, mc_l)
-        mc_n = jnp.where(mc_upd, n_im2_jm1, mc_n)
+        mc_w = jnp.where(mc_upd, w_im2_jm1, mc_w)
 
         # --- mf re-init from this diagonal's column-0 cell (d, 0) ---
         col0_ok = (d < L) & (xlen.astype(jnp.int32) > d)
@@ -387,16 +382,14 @@ def nw_stats_batch(
         mf_s = jnp.where(upd_col, col0_score, mf_s)
         mf_x = jnp.where(upd_col, d, mf_x)
         mf_y = jnp.where(upd_col, 0, mf_y)
-        mf_l = jnp.where(upd_col, 0, mf_l)  # border cell: stats 0
-        mf_n = jnp.where(upd_col, 0, mf_n)
+        mf_w = jnp.where(upd_col, 0, mf_w)  # border cell: stats 0
 
         # --- advance mc to diagonal d+1: shift down, push column d ---
         row0_ok = (d < L) & (ylen.astype(jnp.int32) > d)
         new_col_s = jnp.where(row0_ok[:, None], s0[:, :1], NEG)
         mc_s = jnp.concatenate([new_col_s, mc_s[:, :-1]], axis=1)
         mc_x = jnp.concatenate([ZCOL, mc_x[:, :-1]], axis=1)
-        mc_l = jnp.concatenate([ZCOL, mc_l[:, :-1]], axis=1)  # border: 0
-        mc_n = jnp.concatenate([ZCOL, mc_n[:, :-1]], axis=1)
+        mc_w = jnp.concatenate([ZCOL, mc_w[:, :-1]], axis=1)  # border: 0
 
         # --- best cell on last row/column, reference tie-break ---
         elig = inner & ((i_idx == xlenc - 1) | (j_idx == ylenc - 1))
@@ -407,35 +400,32 @@ def nw_stats_batch(
         di = dbest - ds * 8192
         take = any_elig & ((ds > bs) | ((ds == bs) & (di >= bi)))
         at_di = i_idx == di[:, None]
-        l_at = jnp.sum(jnp.where(at_di, l0, 0), axis=1)
-        n_at = jnp.sum(jnp.where(at_di, n0, 0), axis=1)
+        w_at = jnp.sum(jnp.where(at_di, w0, 0), axis=1)
         bs = jnp.where(take, ds, bs)
         bi = jnp.where(take, di, bi)
         bj = jnp.where(take, d - di, bj)
-        bl = jnp.where(take, l_at, bl)
-        bn = jnp.where(take, n_at, bn)
+        bw = jnp.where(take, w_at, bw)
 
-        return (s0, s1, s2, l0, l1, l2, n0, n1, n2,
-                mf_s, mf_x, mf_y, mf_l, mf_n, mc_s, mc_x, mc_l, mc_n, yd,
-                bs, bi, bj, bl, bn)
+        return (s0, s1, s2, w0, w1, w2,
+                mf_s, mf_x, mf_y, mf_w, mc_s, mc_x, mc_w, yd,
+                bs, bi, bj, bw)
 
     z = lambda: jnp.full((B, L), NEG, jnp.int32)
     zi = lambda: jnp.zeros((B, L), jnp.int32)
     init = (
         z(), z(), z(),  # s1, s2, s3
-        zi(), zi(), zi(),  # l1, l2, l3
-        zi(), zi(), zi(),  # n1, n2, n3
-        z(), zi(), zi(), zi(), zi(),  # mf_s, mf_x, mf_y, mf_l, mf_n
-        z(), zi(), zi(), zi(),  # mc_s, mc_x, mc_l, mc_n
+        zi(), zi(), zi(),  # w1, w2, w3
+        z(), zi(), zi(), zi(),  # mf_s, mf_x, mf_y, mf_w
+        z(), zi(), zi(),  # mc_s, mc_x, mc_w
         zi(),  # yd
         jnp.full((B,), jnp.int32(-(2**31) + 1)),  # best score
         jnp.zeros((B,), jnp.int32),  # best i
         jnp.zeros((B,), jnp.int32),  # best j
-        jnp.zeros((B,), jnp.int32),  # best length
-        jnp.zeros((B,), jnp.int32),  # best identities
+        jnp.zeros((B,), jnp.int32),  # best packed stats
     )
     out = jax.lax.fori_loop(0, ND, body, init)
-    bs, bi, bj, bl, bn = out[-5], out[-4], out[-3], out[-2], out[-1]
+    bs, bi, bj, bw = out[-4], out[-3], out[-2], out[-1]
     return NWStatsResult(
-        best_score=bs, best_i=bi, best_j=bj, length=bl, identities=bn
+        best_score=bs, best_i=bi, best_j=bj,
+        length=bw & 0xFFFF, identities=bw >> 16,
     )

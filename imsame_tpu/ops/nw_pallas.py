@@ -320,19 +320,20 @@ def nw_forward_batch_pallas(
 def _make_nw_stats_kernel(max_len: int):
     """Stats-only twin of _make_nw_kernel: same recurrence, tie-breaks and
     quirks, but instead of emitting the [B, 2L, L] backpointer tensor it
-    carries (length, identities) of each cell's traceback path through the
-    wavefront (the formulation of ops/nw.py nw_stats_batch), so per pair
-    the kernel writes 5 scalars to HBM instead of ~0.5 MB of moves."""
+    carries the packed (length, identities) word of each cell's traceback
+    path through the wavefront (the formulation of ops/nw.py
+    nw_stats_batch), so per pair the kernel writes 4 scalars to HBM
+    instead of ~0.5 MB of moves.  The kernel is VPU-ALU-bound; the
+    len+(id<<16) packing keeps the extra carried state to 5 row vectors."""
     L = max_len
 
     def kernel(igap_ref, egap_ref, x_ref, xr_ref, yr_ref, xlen_ref, ylen_ref,
-               bs_ref, bi_ref, bj_ref, bl_ref, bn_ref,
-               s1_ref, s2_ref, s3_ref,
-               l1_ref, l2_ref, l3_ref, n1_ref, n2_ref, n3_ref,
-               mfs_ref, mfx_ref, mfy_ref, mfl_ref, mfn_ref,
-               mcs_ref, mcx_ref, mcl_ref, mcn_ref,
+               bs_ref, bi_ref, bj_ref, bw_ref,
+               s1_ref, s2_ref, s3_ref, w1_ref, w2_ref, w3_ref,
+               mfs_ref, mfx_ref, mfy_ref, mfw_ref,
+               mcs_ref, mcx_ref, mcw_ref,
                yd_ref, xf_ref, yf_ref,
-               cbs_ref, cbi_ref, cbj_ref, cbl_ref, cbn_ref):
+               cbs_ref, cbi_ref, cbj_ref, cbw_ref):
         dbase = pl.program_id(1) * jnp.int32(UNROLL)
         igap = igap_ref[0, 0]
         egap = egap_ref[0, 0]
@@ -356,14 +357,13 @@ def _make_nw_stats_kernel(max_len: int):
             zero = jnp.zeros((BBLK, L), jnp.int32)
             for ref in (s1_ref, s2_ref, s3_ref, mfs_ref, mcs_ref):
                 ref[:] = neg
-            for ref in (l1_ref, l2_ref, l3_ref, n1_ref, n2_ref, n3_ref,
-                        mfx_ref, mfy_ref, mfl_ref, mfn_ref,
-                        mcx_ref, mcl_ref, mcn_ref, yd_ref):
+            for ref in (w1_ref, w2_ref, w3_ref, mfx_ref, mfy_ref, mfw_ref,
+                        mcx_ref, mcw_ref, yd_ref):
                 ref[:] = zero
             xf_ref[:] = xr_ref[:]
             yf_ref[:] = yr_ref[:]
             cbs_ref[:] = jnp.full((BBLK, 1), jnp.int32(-(2**31) + 1))
-            for ref in (cbi_ref, cbj_ref, cbl_ref, cbn_ref):
+            for ref in (cbi_ref, cbj_ref, cbw_ref):
                 ref[:] = jnp.zeros((BBLK, 1), jnp.int32)
 
         y0 = yr_ref[:, L - 1 : L]
@@ -380,8 +380,11 @@ def _make_nw_stats_kernel(max_len: int):
 
             valid = (j_idx >= 0) & (lane < xlen) & (j_idx < ylen)
             inner = valid & (lane >= 1) & (j_idx >= 1)
-            s_pm = jnp.where(xc == yd, P4, M4)
-            match_i = jnp.where(xc == yd, ONE, Z32)
+            is_match = xc == yd
+            s_pm = jnp.where(is_match, P4, M4)
+            diag_add = jnp.where(
+                is_match, jnp.int32((1 << 16) + 1), ONE
+            )
 
             s2 = s2_ref[:]
             s3 = s3_ref[:]
@@ -389,35 +392,27 @@ def _make_nw_stats_kernel(max_len: int):
             t_i_jm2 = s2
             t_im1_jm2 = shift1(s3, NEG32)
             t_im2_jm1 = shift1(t_im1_jm2, NEG32)
-            l2 = l2_ref[:]
-            l3 = l3_ref[:]
-            n2 = n2_ref[:]
-            n3 = n3_ref[:]
-            l_im1_jm1 = shift1(l2, Z32)
-            n_im1_jm1 = shift1(n2, Z32)
-            l_im1_jm2 = shift1(l3, Z32)
-            n_im1_jm2 = shift1(n3, Z32)
-            l_im2_jm1 = shift1(l_im1_jm2, Z32)
-            n_im2_jm1 = shift1(n_im1_jm2, Z32)
+            w2 = w2_ref[:]
+            w3 = w3_ref[:]
+            w_im1_jm1 = shift1(w2, Z32)
+            w_im1_jm2 = shift1(w3, Z32)
+            w_im2_jm1 = shift1(w_im1_jm2, Z32)
 
             # mf update (before the cell), j > 1
             mf_s = mfs_ref[:]
             mf_x = mfx_ref[:]
             mf_y = mfy_ref[:]
-            mf_l = mfl_ref[:]
-            mf_n = mfn_ref[:]
+            mf_w = mfw_ref[:]
             mf_upd = valid & (lane >= 1) & (j_idx >= 2) & (mf_s <= t_i_jm2)
             mf_s = jnp.where(mf_upd, t_im1_jm2, mf_s)
             mf_x = jnp.where(mf_upd, lane - ONE, mf_x)
             mf_y = jnp.where(mf_upd, j_idx - jnp.int32(2), mf_y)
-            mf_l = jnp.where(mf_upd, l_im1_jm2, mf_l)
-            mf_n = jnp.where(mf_upd, n_im1_jm2, mf_n)
+            mf_w = jnp.where(mf_upd, w_im1_jm2, mf_w)
 
             # cell scores
             mc_s = mcs_ref[:]
             mc_x = mcx_ref[:]
-            mc_l = mcl_ref[:]
-            mc_n = mcn_ref[:]
+            mc_w = mcw_ref[:]
             score_diag = t_im1_jm1 + s_pm
             score_left = jnp.where(
                 j_idx >= 2,
@@ -434,35 +429,28 @@ def _make_nw_stats_kernel(max_len: int):
                 jnp.where(pick_right, score_right, score_left),
             )
 
-            # path stats of this cell (traceback move contributions)
+            # packed path stats of this cell
             dxl = lane - mf_x
             dyl = j_idx - mf_y
             add_left = jnp.where(dxl > dyl, dxl, dyl)
             dxr = lane - mc_x
             add_right = jnp.where(dxr > 1, dxr, ONE)
-            len_new = jnp.where(
+            w_new = jnp.where(
                 pick_diag,
-                l_im1_jm1 + ONE,
-                jnp.where(pick_right, mc_l + add_right, mf_l + add_left),
-            )
-            id_new = jnp.where(
-                pick_diag,
-                n_im1_jm1 + match_i,
-                jnp.where(pick_right, mc_n, mf_n),
+                w_im1_jm1 + diag_add,
+                jnp.where(pick_right, mc_w + add_right, mf_w + add_left),
             )
 
             border = valid & ((lane == 0) | (j_idx == 0))
             cell = jnp.where(border, s_pm, cell)
             s0 = jnp.where(valid, cell, NEG32)
-            l0 = jnp.where(inner, len_new, Z32)
-            n0 = jnp.where(inner, id_new, Z32)
+            w0 = jnp.where(inner, w_new, Z32)
 
             # mc update (after the cell), strict >, from two rows up
             mc_upd = inner & (lane >= 2) & (j_idx >= 2) & (t_im2_jm1 > mc_s)
             mc_s = jnp.where(mc_upd, t_im2_jm1, mc_s)
             mc_x = jnp.where(mc_upd, lane - jnp.int32(2), mc_x)
-            mc_l = jnp.where(mc_upd, l_im2_jm1, mc_l)
-            mc_n = jnp.where(mc_upd, n_im2_jm1, mc_n)
+            mc_w = jnp.where(mc_upd, w_im2_jm1, mc_w)
 
             # mf re-init from the column-0 cell (d, 0): border stats = 0
             col0_ok = (d < L) & (xlen > d)  # (BBLK, 1)
@@ -471,21 +459,18 @@ def _make_nw_stats_kernel(max_len: int):
             mf_s = jnp.where(upd_col, col0_score, mf_s)
             mf_x = jnp.where(upd_col, d, mf_x)
             mf_y = jnp.where(upd_col, Z32, mf_y)
-            mf_l = jnp.where(upd_col, Z32, mf_l)
-            mf_n = jnp.where(upd_col, Z32, mf_n)
+            mf_w = jnp.where(upd_col, Z32, mf_w)
             mfs_ref[:] = mf_s
             mfx_ref[:] = mf_x
             mfy_ref[:] = mf_y
-            mfl_ref[:] = mf_l
-            mfn_ref[:] = mf_n
+            mfw_ref[:] = mf_w
 
             # advance mc to diagonal d+1: shift down, push column d
             row0_ok = (d < L) & (ylen > d)
             new_col_s = jnp.where(row0_ok, s0[:, 0:1], NEG32)
             mcs_ref[:] = shift1(mc_s, new_col_s)
             mcx_ref[:] = shift1(mc_x, Z32)
-            mcl_ref[:] = shift1(mc_l, Z32)
-            mcn_ref[:] = shift1(mc_n, Z32)
+            mcw_ref[:] = shift1(mc_w, Z32)
 
             # best cell on last row/column, reference tie-break
             elig = inner & ((lane == xlen - 1) | (j_idx == ylen - 1))
@@ -497,37 +482,30 @@ def _make_nw_stats_kernel(max_len: int):
             ds = jnp.floor_divide(dbest, jnp.int32(8192))
             di = dbest - ds * jnp.int32(8192)
             at_di = lane == di
-            l_at = jnp.sum(jnp.where(at_di, l0, Z32), axis=1, keepdims=True)
-            n_at = jnp.sum(jnp.where(at_di, n0, Z32), axis=1, keepdims=True)
+            w_at = jnp.sum(jnp.where(at_di, w0, Z32), axis=1, keepdims=True)
             bs = cbs_ref[:]
             bi = cbi_ref[:]
             take = any_elig & ((ds > bs) | ((ds == bs) & (di >= bi)))
             bs = jnp.where(take, ds, bs)
             bi = jnp.where(take, di, bi)
             bj = jnp.where(take, d - di, cbj_ref[:])
-            bl = jnp.where(take, l_at, cbl_ref[:])
-            bn = jnp.where(take, n_at, cbn_ref[:])
+            bw = jnp.where(take, w_at, cbw_ref[:])
             cbs_ref[:] = bs
             cbi_ref[:] = bi
             cbj_ref[:] = bj
-            cbl_ref[:] = bl
-            cbn_ref[:] = bn
+            cbw_ref[:] = bw
             bs_ref[:] = bs
             bi_ref[:] = bi
             bj_ref[:] = bj
-            bl_ref[:] = bl
-            bn_ref[:] = bn
+            bw_ref[:] = bw
 
             # rotate score + stat diagonals
             s3_ref[:] = s2
             s2_ref[:] = s1_ref[:]
             s1_ref[:] = s0
-            l3_ref[:] = l2
-            l2_ref[:] = l1_ref[:]
-            l1_ref[:] = l0
-            n3_ref[:] = n2
-            n2_ref[:] = n1_ref[:]
-            n1_ref[:] = n0
+            w3_ref[:] = w2
+            w2_ref[:] = w1_ref[:]
+            w1_ref[:] = w0
 
     return kernel
 
@@ -550,11 +528,11 @@ def nw_stats_batch_pallas(
     grid = (B // BBLK, NDP // UNROLL)
 
     kernel = _make_nw_stats_kernel(L)
-    scr = [pltpu.VMEM((BBLK, L), jnp.int32)] * 21 + [
+    scr = [pltpu.VMEM((BBLK, L), jnp.int32)] * 16 + [
         pltpu.VMEM((BBLK, 1), jnp.int32)
-    ] * 5
+    ] * 4
     out_shape = tuple(
-        jax.ShapeDtypeStruct((B, 1), jnp.int32) for _ in range(5)
+        jax.ShapeDtypeStruct((B, 1), jnp.int32) for _ in range(4)
     )
     smem11 = pl.BlockSpec((1, 1), lambda b, d: (0, 0), memory_space=pltpu.SMEM)
     vrow = lambda: pl.BlockSpec(
@@ -565,11 +543,11 @@ def nw_stats_batch_pallas(
     )
     Xi = X.astype(jnp.int32)
     Yi = Y.astype(jnp.int32)
-    bs, bi, bj, bl, bn = pl.pallas_call(
+    bs, bi, bj, bw = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[smem11, smem11, vrow(), vrow(), vrow(), vone(), vone()],
-        out_specs=tuple(vone() for _ in range(5)),
+        out_specs=tuple(vone() for _ in range(4)),
         out_shape=out_shape,
         scratch_shapes=scr,
         interpret=interpret,
@@ -589,6 +567,6 @@ def nw_stats_batch_pallas(
         best_score=bs[:, 0],
         best_i=bi[:, 0],
         best_j=bj[:, 0],
-        length=bl[:, 0],
-        identities=bn[:, 0],
+        length=bw[:, 0] & 0xFFFF,
+        identities=bw[:, 0] >> 16,
     )
