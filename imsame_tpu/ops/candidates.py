@@ -27,35 +27,46 @@ from .extend_packed import extend_packed
 
 
 def gate_core(
-    qp, dp, qlen, dlen, idx_pos, idx_sid, db_start, r, hit, qoff, thr,
-    *, window: int,
+    qp, dp, qlen, dlen, idx_tab, r, hit, qoff, thr,
+    *, window: int, packed_idx: bool,
 ):
     """Unjitted gate body: candidate -> (pass bool, exact bool).  Shared
     by the single-device flat_gate and the data-parallel sharded step
-    (parallel/sharded.py)."""
-    hit = jnp.clip(hit, 0, jnp.maximum(idx_pos.shape[0] - 1, 0))
-    s = idx_sid[hit]
-    doff = idx_pos[hit] - db_start[s]
+    (parallel/sharded.py).
+
+    ``idx_tab`` is either one int32 array of (sid << 12) | doff words
+    (packed_idx=True: half the device-resident index payload and one
+    gather instead of two; requires n_db < 2^20 reads and db read
+    length < 4096) or the (idx_pos, idx_sid, db_start) triple."""
+    if packed_idx:
+        hit = jnp.clip(hit, 0, jnp.maximum(idx_tab.shape[0] - 1, 0))
+        w = idx_tab[hit].astype(jnp.uint32)
+        s = (w >> jnp.uint32(12)).astype(jnp.int32)
+        doff = (w & jnp.uint32(0xFFF)).astype(jnp.int32)
+    else:
+        idx_pos, idx_sid, db_start = idx_tab
+        hit = jnp.clip(hit, 0, jnp.maximum(idx_pos.shape[0] - 1, 0))
+        s = idx_sid[hit]
+        doff = idx_pos[hit] - db_start[s]
     res = extend_packed(
         qp, dp, r, s, qoff, doff, qlen[r], dlen[s], thr, W=window
     )
     return res.passes, res.exact
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
+@functools.partial(jax.jit, static_argnames=("window", "packed_idx"))
 def flat_gate_packed(
     qp: jax.Array,  # [n_q, WP] uint32 packed query rows
     dp: jax.Array,  # [n_db, WP] uint32 packed db rows
     qlen: jax.Array,  # [n_q] int32
     dlen: jax.Array,  # [n_db] int32
-    idx_pos: jax.Array,  # [N_idx] int32 one-past k-mer end (concat coords)
-    idx_sid: jax.Array,  # [N_idx] int32 owning db read
-    db_start: jax.Array,  # [n_db] int32
+    idx_tab,  # packed index words, or (idx_pos, idx_sid, db_start) triple
     cand: jax.Array,  # [2, N] int32: row 0 index-hit row, row 1 the
     # (query read id << 12) | qoff word (bit-cast from uint32)
     thr_tab: jax.Array,  # [n_q] int32 per-READ raw-score threshold
     *,
     window: int,
+    packed_idx: bool,
 ) -> jax.Array:
     """flat_gate with candidate traffic halved and one buffer each way:
     behind a tunneled TPU every buffer transfer is a round trip, so the
@@ -71,8 +82,8 @@ def flat_gate_packed(
     r = (rq >> jnp.uint32(12)).astype(jnp.int32)
     qoff = (rq & jnp.uint32(0xFFF)).astype(jnp.int32)
     passes, exact = gate_core(
-        qp, dp, qlen, dlen, idx_pos, idx_sid, db_start,
-        r, hit, qoff, thr_tab[r], window=window,
+        qp, dp, qlen, dlen, idx_tab,
+        r, hit, qoff, thr_tab[r], window=window, packed_idx=packed_idx,
     )
     stacked = jnp.stack([passes, exact])  # [2, N]
     bits = stacked.reshape(2, N // 32, 32).astype(jnp.int32)
@@ -80,15 +91,13 @@ def flat_gate_packed(
     return jnp.sum(bits * weights, axis=2).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
+@functools.partial(jax.jit, static_argnames=("window", "packed_idx"))
 def flat_gate(
     qp: jax.Array,  # [n_q, WP] uint32 packed query rows
     dp: jax.Array,  # [n_db, WP] uint32 packed db rows
     qlen: jax.Array,  # [n_q] int32
     dlen: jax.Array,  # [n_db] int32
-    idx_pos: jax.Array,  # [N_idx] int32 one-past k-mer end (concat coords)
-    idx_sid: jax.Array,  # [N_idx] int32 owning db read
-    db_start: jax.Array,  # [n_db] int32
+    idx_tab,  # packed index words, or (idx_pos, idx_sid, db_start) triple
     r: jax.Array,  # [N] int32 query read id per candidate
     hit: jax.Array,  # [N] int32 index row per candidate
     qoff: jax.Array,  # [N] int32 one past seed end, query row coords
@@ -96,13 +105,14 @@ def flat_gate(
     n_valid: jax.Array,  # [] int32 count of real candidates (rest padding)
     *,
     window: int,
+    packed_idx: bool,
 ) -> jax.Array:
     """Returns pass and exactness bits, each packed 32 candidates per
     int32 word, stacked as [2, N//32] (row 0 = pass, row 1 = exact)."""
     N = r.shape[0]
     passes, exact = gate_core(
-        qp, dp, qlen, dlen, idx_pos, idx_sid, db_start, r, hit, qoff, thr,
-        window=window,
+        qp, dp, qlen, dlen, idx_tab, r, hit, qoff, thr,
+        window=window, packed_idx=packed_idx,
     )
     valid = jnp.arange(N, dtype=jnp.int32) < n_valid
     stacked = jnp.stack([passes & valid, exact])  # [2, N]

@@ -216,3 +216,53 @@ def extend_packed(
         idents=idents,
         exact=fwd_exact & bwd_exact,
     )
+
+
+def pack_stream(codes: np.ndarray) -> np.ndarray:
+    """Pack a concatenated code array 2 bits/base into uint32 words (base b
+    at bits 2*(b%16) of word b//16) -- the minimal H2D representation of a
+    sample (0.25 B/base); rows_from_stream rebuilds per-read rows on
+    device.  Tail bases of the last word are zero."""
+    n = len(codes)
+    wp = -(-max(n, 1) // BASES_PER_WORD)
+    pad = np.zeros(wp * BASES_PER_WORD, np.uint8)
+    pad[:n] = codes
+    shifts = (2 * np.arange(BASES_PER_WORD, dtype=np.uint32))[None, :]
+    return np.bitwise_or.reduce(
+        pad.reshape(wp, BASES_PER_WORD).astype(np.uint32) << shifts, axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("row_len",))
+def rows_from_stream(
+    stream: jax.Array,  # [W_s] uint32 packed concatenated codes
+    start: jax.Array,  # [n] int32 read start offsets (base coords)
+    lens: jax.Array,  # [n] int32 read lengths (0 for padding rows)
+    *,
+    row_len: int,
+) -> jax.Array:
+    """Device-side pack_read_rows: funnel-shift each read's packed words
+    out of the concatenated stream and mask bases past the read length.
+    Bit-identical to pack_read_rows (tests/test_extend_packed.py); moves
+    the per-compare H2D payload from padded rows (row_len/4 B/read) down
+    to the 2-bit stream (len/4 B/read)."""
+    assert row_len % BASES_PER_WORD == 0
+    wp = row_len // BASES_PER_WORD
+    n = start.shape[0]
+    Ws = stream.shape[0]
+    j = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    wi = (start >> 4)[:, None] + j
+    lo = stream[jnp.clip(wi, 0, Ws - 1)]  # [n, wp]
+    hi = stream[jnp.clip(wi + 1, 0, Ws - 1)]
+    sh = (2 * (start & 15)).astype(jnp.uint32)[:, None]
+    rows = jnp.where(sh == 0, lo, (lo >> sh) | (hi << (jnp.uint32(32) - sh)))
+    # mask bases past the read length: word w keeps nb = len - 16w bases
+    nb = jnp.clip(lens[:, None] - BASES_PER_WORD * j, 0, BASES_PER_WORD)
+    full = nb >= BASES_PER_WORD
+    mask = jnp.where(
+        full,
+        jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << (2 * jnp.clip(nb, 0, 15)).astype(jnp.uint32))
+        - jnp.uint32(1),
+    )
+    return rows & mask

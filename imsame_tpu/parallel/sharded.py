@@ -37,23 +37,29 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 
-def make_engine_gate_step(mesh: Mesh, window: int, shard_rows: int):
+def make_engine_gate_step(
+    mesh: Mesh, window: int, shard_rows: int, packed_idx: bool
+):
     """Sharded flat_gate_packed twin: candidates P(None, 'data'), index
     payload P('dict'), everything else replicated.  Returns packed
-    pass/exact bits [2, N//32] (bit-identical to the single-device gate)."""
+    pass/exact bits [2, N//32] (bit-identical to the single-device gate).
+    ``packed_idx`` selects the one-word (sid<<12|doff) index table (see
+    ops/candidates.gate_core)."""
     from ..ops.candidates import gate_core
+
+    idx_spec = P("dict") if packed_idx else (P("dict"), P("dict"), P())
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(
-            P(), P(), P(), P(), P("dict"), P("dict"), P(),
+            P(), P(), P(), P(), idx_spec,
             P(None, "data"), P(),
         ),
         out_specs=P(None, "data"),
         check_vma=False,
     )
-    def gate(qp, dp, qlen, dlen, idx_pos, idx_sid, db_start, cand, thr_tab):
+    def gate(qp, dp, qlen, dlen, idx_tab, cand, thr_tab):
         k = jax.lax.axis_index("dict")
         hit = cand[0] - k * shard_rows
         own = (hit >= 0) & (hit < shard_rows)
@@ -62,8 +68,8 @@ def make_engine_gate_step(mesh: Mesh, window: int, shard_rows: int):
         r = (rq >> jnp.uint32(12)).astype(jnp.int32)
         qoff = (rq & jnp.uint32(0xFFF)).astype(jnp.int32)
         passes, exact = gate_core(
-            qp, dp, qlen, dlen, idx_pos, idx_sid, db_start,
-            r, hit, qoff, thr_tab[r], window=window,
+            qp, dp, qlen, dlen, idx_tab,
+            r, hit, qoff, thr_tab[r], window=window, packed_idx=packed_idx,
         )
         stacked = jnp.stack([passes & own, exact & own])  # [2, N_local]
         N = stacked.shape[1]

@@ -19,11 +19,13 @@ its acceptance semantics bit-exact:
          exit -- then gate every remaining candidate of the unresolved
          tail in one flat pass (random reads have no passing candidate
          anywhere, so the reference walks their whole stream too);
-      2. walk each read's passing candidates in stream order, batching
-         the gapped alignments of first-unknown pairs across reads in
-         fused gather->NW->traceback device chunks (ops/resolve.py),
-         caching rejected pairs;
-      3. stop each read at its first accepting candidate.
+      2. gapped-align every unique passing (read, db read) pair in one
+         dispatch wave with the stats-only aligner (ops/resolve.py
+         nw_stats_rows -- no backpointer tensor), then
+      3. replay each read's candidate stream on the host: the first
+         candidate whose pair accepted wins the read (_align_and_accept).
+         Traceback chains are produced at render time by re-running the
+         bp kernel on accepted pairs only.
 
 This yields identical accepted pairs and, with the shared renderer, a
 byte-identical report to the reference binary at n_threads=1.
@@ -56,7 +58,7 @@ from .io.reconstruct import backtrack_from_chain
 from .io.report import format_record, render_alignment
 from .ops.candidates import flat_gate, flat_gate_packed
 from .ops.extend import raw_score_threshold
-from .ops.extend_packed import pack_read_rows
+from .ops.extend_packed import pack_stream, rows_from_stream
 from .ops.resolve import nw_stats_rows, nw_traceback_rows
 from .utils.timing import PhaseTimer
 
@@ -111,19 +113,6 @@ def _pad_pow2_1d(a: np.ndarray, fill, min_size: int = 256) -> np.ndarray:
     return out
 
 
-def _pad_pow2_rows(a: np.ndarray, min_size: int = 256) -> np.ndarray:
-    """Pad a 2-D array's leading axis to the next power of two."""
-    n = a.shape[0]
-    p = min_size
-    while p < n:
-        p *= 2
-    if p == n:
-        return a
-    out = np.zeros((p,) + a.shape[1:], a.dtype)
-    out[:n] = a
-    return out
-
-
 class TpuEngine:
     """Compare query samples against one database sample on device."""
 
@@ -160,13 +149,28 @@ class TpuEngine:
         i32p = lambda a, fill=0: self._put(
             _pad_pow2_1d(np.asarray(a, np.int32), fill)
         )
-        idx_pos = _pad_pow2_1d(np.asarray(self.index.pos, np.int32), 0)
-        idx_sid = _pad_pow2_1d(np.asarray(self.index.sid, np.int32), 0)
+        max_dlen = int(self.db_read_lens.max()) if db.n_seqs else 0
+        # One-word index payload (sid << 12 | doff): halves the
+        # engine-init H2D transfer and drops two gathers from the gate.
+        self._packed_idx = db.n_seqs < (1 << 20) and max_dlen < 4096
         n_dict = self._mesh.shape["dict"] if self._mesh else 1
-        self._shard_rows = len(idx_pos) // n_dict
-        self._d_idx_pos = self._put_dict(idx_pos)
-        self._d_idx_sid = self._put_dict(idx_sid)
-        self._d_db_start = i32p(db.start)
+        if self._packed_idx:
+            sid = np.asarray(self.index.sid, np.int64)
+            doff = np.asarray(self.index.pos, np.int64) - db.start[sid]
+            words = ((sid.astype(np.uint32) << np.uint32(12))
+                     | doff.astype(np.uint32)).view(np.int32)
+            words = _pad_pow2_1d(words, 0)
+            self._shard_rows = len(words) // n_dict
+            self._d_idx_tab = self._put_dict(words)
+        else:
+            idx_pos = _pad_pow2_1d(np.asarray(self.index.pos, np.int32), 0)
+            idx_sid = _pad_pow2_1d(np.asarray(self.index.sid, np.int32), 0)
+            self._shard_rows = len(idx_pos) // n_dict
+            self._d_idx_tab = (
+                self._put_dict(idx_pos),
+                self._put_dict(idx_sid),
+                i32p(db.start),
+            )
         self._d_dlen = i32p(self.db_read_lens, 2)
         self._nw_cells = 0
         self._n_cands = 0
@@ -244,15 +248,29 @@ class TpuEngine:
             x, NamedSharding(self._mesh, _P(None, ("data", "dict")))
         )
 
+    def _rows_on_device(
+        self, codes: np.ndarray, start: np.ndarray, lens: np.ndarray,
+        row_len: int,
+    ) -> jax.Array:
+        """Packed read rows built ON DEVICE from the 2-bit concatenated
+        stream: the H2D payload is len/4 bytes per read instead of
+        row_len/4 (row padding + pow2 row-count padding never cross the
+        link).  Row count is pow2-padded for cross-sample shape reuse."""
+        stream = _pad_pow2_1d(pack_stream(codes), 0)
+        n_pad = len(_pad_pow2_1d(np.empty(max(len(start), 1), np.int32), 0))
+        start_p = np.zeros(n_pad, np.int32)
+        lens_p = np.zeros(n_pad, np.int32)
+        start_p[: len(start)] = start
+        lens_p[: len(start)] = lens
+        return rows_from_stream(
+            self._put(stream), self._put(start_p), self._put(lens_p),
+            row_len=row_len,
+        )
+
     def _packed_db_rows(self, row_len: int) -> jax.Array:
         if row_len not in self._dp_cache:
-            self._dp_cache[row_len] = self._put(
-                _pad_pow2_rows(
-                    pack_read_rows(
-                        self.db.codes, self.db.start,
-                        self.db_read_lens, row_len,
-                    )
-                )
+            self._dp_cache[row_len] = self._rows_on_device(
+                self.db.codes, self.db.start, self.db_read_lens, row_len
             )
         return self._dp_cache[row_len]
 
@@ -501,15 +519,14 @@ class TpuEngine:
                     self._dp_cache[self._row_len],
                     d_qlen,
                     self._d_dlen,
-                    self._d_idx_pos,
-                    self._d_idx_sid,
-                    self._d_db_start,
+                    self._d_idx_tab,
                     jnp.asarray(rpad),
                     jnp.asarray(hpad),
                     jnp.asarray(qpad),
                     jnp.asarray(tpad),
                     jnp.asarray(np.int32(take)),
                     window=window,
+                    packed_idx=self._packed_idx,
                 )
             pending.append((pos, take, size, bits))
             pos += take
@@ -529,20 +546,19 @@ class TpuEngine:
         """Single-device flat gate or the mesh-sharded twin."""
         if self._mesh is None:
             return flat_gate_packed(
-                d_qp, d_dp, d_qlen, d_dlen,
-                self._d_idx_pos, self._d_idx_sid, self._d_db_start,
-                cand, thr_tab, window=window,
+                d_qp, d_dp, d_qlen, d_dlen, self._d_idx_tab,
+                cand, thr_tab, window=window, packed_idx=self._packed_idx,
             )
         step = self._gate_steps.get(window)
         if step is None:
             from .parallel.sharded import make_engine_gate_step
 
-            step = make_engine_gate_step(self._mesh, window, self._shard_rows)
+            step = make_engine_gate_step(
+                self._mesh, window, self._shard_rows, self._packed_idx
+            )
             self._gate_steps[window] = step
         return step(
-            d_qp, d_dp, d_qlen, d_dlen,
-            self._d_idx_pos, self._d_idx_sid, self._d_db_start,
-            cand, thr_tab,
+            d_qp, d_dp, d_qlen, d_dlen, self._d_idx_tab, cand, thr_tab
         )
 
     def _nw_stats_dispatch(self, d_qp, d_dp, rs, d_qlen, d_dlen, L):
@@ -677,11 +693,7 @@ class TpuEngine:
 
         if idx.n_entries and n and Ccum[-1]:
             with self.timer.phase("upload"):
-                d_qp = self._put(
-                    _pad_pow2_rows(
-                        pack_read_rows(q.codes, q.start, qlens, window)
-                    )
-                )
+                d_qp = self._rows_on_device(q.codes, q.start, qlens, window)
                 d_dp = self._packed_db_rows(window)
                 d_qlen = self._put(
                     _pad_pow2_1d(np.asarray(qlens, np.int32), 2)

@@ -53,9 +53,9 @@ def test_mesh_dict_axis_shards_payload(tmp_path):
     eng = TpuEngine(db, Config(mesh_shape=(2, 4)))
     n_dict = eng._mesh.shape["dict"]
     assert n_dict == 4
-    total = eng._d_idx_pos.shape[0]
+    total = eng._d_idx_tab.shape[0]  # packed one-word payload
     assert eng._shard_rows == total // n_dict
-    for s in eng._d_idx_pos.addressable_shards:
+    for s in eng._d_idx_tab.addressable_shards:
         assert s.data.shape[0] == total // n_dict
 
 

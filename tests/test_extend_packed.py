@@ -163,3 +163,32 @@ def test_exactness_flag(seed):
     # hits legitimately outrun it; the tier's payoff on random-dominated
     # workloads is covered by the pipeline parity tests + bench).
     assert ex.any() and (~ex).any()
+
+
+def test_rows_from_stream_matches_pack_read_rows():
+    """Device-side row packing from the 2-bit stream is bit-identical to
+    the host packer, including padding rows (len 0) and odd offsets."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from imsame_tpu.ops.extend_packed import (
+        pack_read_rows,
+        pack_stream,
+        rows_from_stream,
+    )
+
+    rng = np.random.default_rng(3)
+    lens = rng.integers(1, 300, 37).astype(np.int64)
+    start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    codes = rng.integers(0, 4, int(lens.sum()), dtype=np.uint8)
+    for row_len in (128, 256, 512):
+        want = pack_read_rows(codes, start, lens, row_len)
+        # include zero-length padding rows like the engine's pow2 padding
+        start_p = np.concatenate([start, [0, 0, 0]]).astype(np.int32)
+        lens_p = np.concatenate([lens, [0, 0, 0]]).astype(np.int32)
+        got = np.asarray(rows_from_stream(
+            jnp.asarray(pack_stream(codes)),
+            jnp.asarray(start_p), jnp.asarray(lens_p), row_len=row_len,
+        ))
+        np.testing.assert_array_equal(want, got[:37])
+        assert not got[37:].any()

@@ -45,19 +45,32 @@ def test_gate_step_matches_flat_gate():
     cand[1] = ((rng.integers(0, 64, N) << 12) | rng.integers(12, 100, N))
     thr = jnp.asarray(np.full(64, 60, np.int32))
 
-    want = flat_gate_packed(
-        qp, qp, qlen, qlen, jnp.asarray(idx_pos), jnp.asarray(idx_sid),
-        jnp.asarray(db_start), jnp.asarray(cand), thr, window=window,
+    idx_tab = (
+        jnp.asarray(idx_pos), jnp.asarray(idx_sid), jnp.asarray(db_start)
     )
+    want = flat_gate_packed(
+        qp, qp, qlen, qlen, idx_tab, jnp.asarray(cand), thr,
+        window=window, packed_idx=False,
+    )
+    # packed one-word payload must agree with the triple
+    packed_tab = jnp.asarray(
+        ((idx_sid.astype(np.uint32) << np.uint32(12))
+         | (idx_pos - db_start[idx_sid]).astype(np.uint32)).view(np.int32)
+    )
+    got_p = flat_gate_packed(
+        qp, qp, qlen, qlen, packed_tab, jnp.asarray(cand), thr,
+        window=window, packed_idx=True,
+    )
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got_p))
     for n_data, n_dict in [(8, 1), (4, 2), (2, 4)]:
         mesh = make_mesh(n_data=n_data, n_dict=n_dict)
         shard_rows = n_idx // n_dict
-        step = make_engine_gate_step(mesh, window, shard_rows)
-        got = step(
-            qp, qp, qlen, qlen, jnp.asarray(idx_pos), jnp.asarray(idx_sid),
-            jnp.asarray(db_start), jnp.asarray(cand), thr,
-        )
+        step = make_engine_gate_step(mesh, window, shard_rows, False)
+        got = step(qp, qp, qlen, qlen, idx_tab, jnp.asarray(cand), thr)
         np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+        step_p = make_engine_gate_step(mesh, window, shard_rows, True)
+        got2 = step_p(qp, qp, qlen, qlen, packed_tab, jnp.asarray(cand), thr)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got2))
 
 
 def test_nw_steps_match_single_device():
