@@ -65,6 +65,10 @@ class KmerIndex:
     db_total_len: int
     db_n_seqs: int
     bucket_start: np.ndarray = None  # int64 [4^k + 1]
+    # Optional device-payload words (sid << 12) | (pos - start[sid]),
+    # emitted for free by the native build; valid only when
+    # db_n_seqs < 2^20 and read lengths < 4096 (pipeline checks).
+    packed: np.ndarray = None  # uint32 [N] or None
 
     def __post_init__(self):
         if self.bucket_start is None:
@@ -96,6 +100,7 @@ def save_index(idx: KmerIndex, path: str) -> None:
     """Persist the sorted index (SURVEY.md 5.4: the reference rebuilds its
     dictionary from FASTA every run; device-friendly flat arrays serialize
     trivially, making per-sample index reuse an orchestrator-level win)."""
+    extra = {} if idx.packed is None else {"packed": idx.packed}
     np.savez_compressed(
         path,
         keys=idx.keys,
@@ -103,6 +108,7 @@ def save_index(idx: KmerIndex, path: str) -> None:
         sid=idx.sid,
         db_total_len=np.int64(idx.db_total_len),
         db_n_seqs=np.int64(idx.db_n_seqs),
+        **extra,
     )
 
 
@@ -114,6 +120,7 @@ def load_index(path: str) -> KmerIndex:
             sid=z["sid"],
             db_total_len=int(z["db_total_len"]),
             db_n_seqs=int(z["db_n_seqs"]),
+            packed=z["packed"] if "packed" in z.files else None,
         )
 
 
@@ -129,7 +136,7 @@ def build_index(db: SeqInfo, k: int = FIXED_K) -> KmerIndex:
 
         arrs = native.build_index_arrays(db.codes, db.fresh, db.start, k)
         if arrs is not None:
-            keys, pos, sid, bucket_start = arrs
+            keys, pos, sid, bucket_start, packed = arrs
             return KmerIndex(
                 keys=keys,
                 pos=pos,
@@ -137,6 +144,7 @@ def build_index(db: SeqInfo, k: int = FIXED_K) -> KmerIndex:
                 db_total_len=db.total_len,
                 db_n_seqs=db.n_seqs,
                 bucket_start=bucket_start,
+                packed=packed,
             )
 
     starts = valid_db_kmer_starts(db, k)

@@ -60,7 +60,7 @@ def _load():
     lib.imsame_index_fill.restype = None
     lib.imsame_index_fill.argtypes = [
         i8, i8, i64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-        ctypes.c_int64, i32, i32, u32, i32, i32,
+        ctypes.c_int64, i32, i32, u32, i32, i32, u32,
     ]
 
     lib.imsame_kmer_stream.restype = None
@@ -80,8 +80,10 @@ lib = None if os.environ.get("IMSAME_NO_NATIVE") else _load()
 
 
 def build_index_arrays(codes, fresh, start, k: int):
-    """Counting-sort index build.  Returns (keys, pos, sid, bucket_start)
-    sorted by (key asc, pos desc), or None if the native lib is unavailable."""
+    """Counting-sort index build.  Returns (keys, pos, sid, bucket_start,
+    packed) sorted by (key asc, pos desc), or None if the native lib is
+    unavailable.  ``packed`` holds the (sid << 12 | doff) device-payload
+    words; only valid when n_seqs < 2^20 and read lengths < 4096."""
     if lib is None:
         return None
     n = len(codes)
@@ -94,12 +96,13 @@ def build_index_arrays(codes, fresh, start, k: int):
     keys = np.empty(total, np.uint32)
     pos = np.empty(total, np.int32)
     sid = np.empty(total, np.int32)
+    packed = np.empty(total, np.uint32)
     fill = np.empty(nb, np.int32)
     lib.imsame_index_fill(
         codes, fresh_u8, start, len(start), n, k, nb,
-        bucket_start, fill, keys, pos, sid,
+        bucket_start, fill, keys, pos, sid, packed,
     )
-    return keys, pos, sid, bucket_start
+    return keys, pos, sid, bucket_start, packed
 
 
 def kmer_stream_arrays(codes, qlo, n_kmers, k: int, bucket_start):

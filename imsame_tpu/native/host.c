@@ -61,14 +61,21 @@ EXPORT int64_t imsame_index_count(
  * The scatter walks positions in ascending order and fills each bucket from
  * its END downward, so entries within a bucket end up in descending pos
  * order -- the reference's newest-first iteration -- in one linear pass
- * (numpy needs a full stable radix argsort for the same result). */
+ * (numpy needs a full stable radix argsort for the same result).
+ *
+ * out_packed additionally receives the device-payload word
+ * (sid << 12) | (pos - start[sid]) per entry -- the one-word index table
+ * the TPU gate gathers (pipeline.py); emitting it here saves the caller a
+ * 4-million-row random gather into start[].  Only meaningful when
+ * n_seqs < 2^20 and read lengths < 4096 (the caller checks before use). */
 EXPORT void imsame_index_fill(
     const uint8_t *codes, const uint8_t *fresh,
     const int64_t *start, int64_t n_seqs,
     int64_t n, int32_t k, int64_t n_buckets,
     int32_t *bucket_start /* in: [b+1]=count(b); out: prefix table */,
     int32_t *fill /* [n_buckets] scratch */,
-    uint32_t *out_keys, int32_t *out_pos, int32_t *out_sid) {
+    uint32_t *out_keys, int32_t *out_pos, int32_t *out_sid,
+    uint32_t *out_packed) {
     int64_t acc = 0;
     for (int64_t b = 0; b <= n_buckets; b++) {
         acc += bucket_start[b];
@@ -90,6 +97,8 @@ EXPORT void imsame_index_fill(
             out_pos[o] = (int32_t)(p + 1); /* one past the last base,
                                               reference src/IMSAME.c:247 */
             out_sid[o] = (int32_t)r;
+            out_packed[o] =
+                ((uint32_t)r << 12) | (uint32_t)(p + 1 - start[r]);
         }
     }
 }

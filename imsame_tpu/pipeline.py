@@ -95,17 +95,30 @@ class PipelineResult:
         return self.accepted / ((self.n_db + self.n_query) - self.accepted)
 
 
-def _pad_pow2_1d(a: np.ndarray, fill, min_size: int = 256) -> np.ndarray:
-    """Pad a 1-D array to the next power-of-two length (>= min_size).
+def _pad_pow2_1d(
+    a: np.ndarray, fill, min_size: int = 256, steps: Tuple[int, ...] = (2,)
+) -> np.ndarray:
+    """Pad a 1-D array to the next quantized length (>= min_size).
 
     Compiled kernel shapes are keyed on every table's length; quantizing
-    lengths to powers of two makes different queries / db samples of
-    similar size reuse the same executables instead of recompiling
-    (compilation on a tunneled TPU costs tens of seconds)."""
+    lengths makes different queries / db samples of similar size reuse the
+    same executables instead of recompiling (compilation on a tunneled TPU
+    costs tens of seconds).  Default grid: powers of two.  For very large
+    tables the caller passes steps=(2, 3) -- sizes {2^k, 1.5*2^k} -- which
+    halves the average padding (H2D bytes are the scarce resource behind
+    the tunnel) at the cost of one extra compiled shape per octave."""
     n = len(a)
     p = min_size
-    while p < n:
-        p *= 2
+    while True:
+        for s in steps:
+            q = p * s // 2 if s != 2 else p
+            if q >= n:
+                p = q
+                break
+        else:
+            p *= 2
+            continue
+        break
     if p == n:
         return a
     out = np.full(p, fill, a.dtype)
@@ -155,16 +168,23 @@ class TpuEngine:
         self._packed_idx = db.n_seqs < (1 << 20) and max_dlen < 4096
         n_dict = self._mesh.shape["dict"] if self._mesh else 1
         if self._packed_idx:
-            sid = np.asarray(self.index.sid, np.int64)
-            doff = np.asarray(self.index.pos, np.int64) - db.start[sid]
-            words = ((sid.astype(np.uint32) << np.uint32(12))
-                     | doff.astype(np.uint32)).view(np.int32)
-            words = _pad_pow2_1d(words, 0)
+            if self.index.packed is not None:
+                words = self.index.packed.view(np.int32)
+            else:
+                sid = np.asarray(self.index.sid, np.int64)
+                doff = np.asarray(self.index.pos, np.int64) - db.start[sid]
+                words = ((sid.astype(np.uint32) << np.uint32(12))
+                         | doff.astype(np.uint32)).view(np.int32)
+            words = _pad_pow2_1d(words, 0, steps=(2, 3))
             self._shard_rows = len(words) // n_dict
             self._d_idx_tab = self._put_dict(words)
         else:
-            idx_pos = _pad_pow2_1d(np.asarray(self.index.pos, np.int32), 0)
-            idx_sid = _pad_pow2_1d(np.asarray(self.index.sid, np.int32), 0)
+            idx_pos = _pad_pow2_1d(
+                np.asarray(self.index.pos, np.int32), 0, steps=(2, 3)
+            )
+            idx_sid = _pad_pow2_1d(
+                np.asarray(self.index.sid, np.int32), 0, steps=(2, 3)
+            )
             self._shard_rows = len(idx_pos) // n_dict
             self._d_idx_tab = (
                 self._put_dict(idx_pos),

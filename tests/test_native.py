@@ -140,3 +140,31 @@ def test_kmer_stream_matches_numpy():
     np.testing.assert_array_equal(rids, np.array(exp_r, np.int32))
     np.testing.assert_array_equal(hits, np.array(exp_h, np.int32))
     np.testing.assert_array_equal(qoffs, np.array(exp_q, np.int32))
+
+
+@pytest.mark.skipif(
+    native.lib is None, reason="native host library unavailable"
+)
+def test_native_packed_words_match_recompute():
+    """The fill pass's (sid<<12|doff) words equal the vectorized
+    recomputation from (pos, sid)."""
+    import numpy as np
+
+    from imsame_tpu.index.kmer import build_index
+    from util_synth import make_pair
+    import random, tempfile
+    from pathlib import Path
+
+    from imsame_tpu.io.fasta import read_fasta
+
+    with tempfile.TemporaryDirectory() as td:
+        rng = random.Random(17)
+        _, dp = make_pair(Path(td), rng, n_query=5, n_db=60, read_len=180,
+                          indel_rate=0.03)
+        db = read_fasta(str(dp))
+    idx = build_index(db)
+    assert idx.packed is not None
+    sid = np.asarray(idx.sid, np.int64)
+    doff = np.asarray(idx.pos, np.int64) - db.start[sid]
+    want = (sid.astype(np.uint32) << np.uint32(12)) | doff.astype(np.uint32)
+    np.testing.assert_array_equal(idx.packed, want)
