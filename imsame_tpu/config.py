@@ -50,8 +50,10 @@ class Config:
     # First-tier extension window (bases).  Random candidates' walks die
     # within a few mismatches, provably inside this window (the kernel
     # flags exactness); only escapees re-run at the full read window.
-    # 0 disables the tier.
-    gate_window_small: int = 32
+    # 0 disables the tier.  64 measured fastest on TPU: narrower windows
+    # produce sub-128-lane scan shapes that tile poorly (W=32 ran 4-6x
+    # slower than W=64 at 7.4 Mcand/s), and wider ones do extra work.
+    gate_window_small: int = 64
     # NW batch-shape ladders (descending; each shape is one XLA compile,
     # each dispatch one tunnel round trip -- see pipeline._nw_chunks).
     # The stats-only accept path has no bp tensor, so its ladder tops out
