@@ -406,7 +406,7 @@ class TpuEngine:
                 spad[: len(chunk)] = sids[chunk]
                 yield chunk, rpad, spad, int(L)
 
-    def _run_nw_pairs(
+    def _nw_dispatch_pairs(
         self,
         r_ids: np.ndarray,  # [P] query read ids
         sids: np.ndarray,  # [P] db read ids
@@ -415,13 +415,11 @@ class TpuEngine:
         d_dp: jax.Array,
         d_qlen: jax.Array,
         d_dlen: jax.Array,
-    ) -> List[Tuple[int, int, int]]:
-        """Gapped-align pairs with the stats-only aligner (no backpointer
-        tensor); returns (length, identities, ylen) per pair -- exactly the
-        accept-gate inputs.  All chunks are dispatched before any result is
-        fetched, so one call pays one device round-trip."""
-        P = len(r_ids)
-        out: List = [None] * P
+    ):
+        """Dispatch the stats-only aligner over pairs (no backpointer
+        tensor) without fetching -- device work queues asynchronously, so
+        the caller can overlap further host/gate work before paying the
+        round trip in _nw_fetch_pairs."""
         pending = []
         for chunk, rpad, spad, L in self._nw_chunks(
             r_ids, sids, qlens, self.cfg.nw_stats_batches
@@ -430,10 +428,15 @@ class TpuEngine:
                 d_qp, d_dp, np.stack([rpad, spad]), d_qlen, d_dlen, L
             )
             pending.append((chunk, res))
+        return len(r_ids), pending
 
-        # One synchronization for every chunk's stats (a device round trip
-        # costs ~30 ms behind the tunnel; stats come back as one stacked
-        # array per chunk).
+    @staticmethod
+    def _nw_fetch_pairs(P: int, pending) -> List[Tuple[int, int, int]]:
+        """Fetch dispatched stats; one synchronization for every chunk
+        (a device round trip costs ~30 ms behind the tunnel; stats come
+        back as one stacked [3, B] array per chunk).  Returns
+        (length, identities, ylen) per pair -- the accept-gate inputs."""
+        out: List = [None] * P
         flat = jax.device_get([res for _, res in pending])
         for (chunk, _res), stats in zip(pending, flat):
             for b, i in enumerate(chunk):
@@ -441,6 +444,15 @@ class TpuEngine:
                     int(stats[0, b]), int(stats[1, b]), int(stats[2, b])
                 )
         return out
+
+    def _run_nw_pairs(
+        self, r_ids, sids, qlens, d_qp, d_dp, d_qlen, d_dlen
+    ) -> List[Tuple[int, int, int]]:
+        """Dispatch + fetch in one call (single-wave convenience)."""
+        P, pending = self._nw_dispatch_pairs(
+            r_ids, sids, qlens, d_qp, d_dp, d_qlen, d_dlen
+        )
+        return self._nw_fetch_pairs(P, pending)
 
     # ------------------------------------------------------------------
     def _gate(
@@ -617,6 +629,53 @@ class TpuEngine:
             self.cfg.igap, self.cfg.egap,
         )
 
+    def _dedup_pairs(self, pass_r, pass_sid, rejected_keys):
+        """Unique not-yet-rejected (read, db read) pairs in stream order of
+        first occurrence, plus the per-candidate pair-key array."""
+        n_db = max(self.db.n_seqs, 1)
+        key = pass_r.astype(np.int64) * n_db + pass_sid
+        _, first_idx = np.unique(key, return_index=True)
+        first_idx.sort()
+        ck = key[first_idx]
+        if rejected_keys:
+            fresh = np.array([k not in rejected_keys for k in ck], bool)
+            first_idx, ck = first_idx[fresh], ck[fresh]
+        return (
+            pass_r[first_idx].astype(np.int64),
+            pass_sid[first_idx].astype(np.int64),
+            ck,
+            key,
+        )
+
+    def _judge_and_replay(
+        self, results, ck, pass_r, pass_sid, key,
+        rejected_keys, resolved, accepted_records, cfg,
+    ) -> None:
+        """Apply the coverage/identity accept gates (reference
+        src/alignmentFunctions.c:163) to per-pair NW stats, then replay the
+        candidate stream: the first candidate whose pair accepts wins its
+        read (NWaligned semantics, src/alignmentFunctions.c:172,189-190;
+        the verdict depends only on the two full reads, so all verdicts
+        can be computed up front and the sequential walk replayed for
+        free)."""
+        verdicts: Dict[int, Tuple[int, int, int]] = {}
+        for k, (length, idents, ylen) in enumerate(results):
+            if (
+                length / ylen >= cfg.min_coverage
+                and idents / length >= cfg.min_identity
+            ):
+                verdicts[int(ck[k])] = (length, idents, ylen)
+            else:
+                rejected_keys.add(int(ck[k]))
+        for i in range(len(pass_r)):
+            r = int(pass_r[i])
+            if resolved[r]:
+                continue
+            v = verdicts.get(int(key[i]))
+            if v is not None:
+                resolved[r] = True
+                accepted_records.append(AcceptedRead(r, int(pass_sid[i]), *v))
+
     def _align_and_accept(
         self,
         pass_r: np.ndarray,  # [P] read ids of passing candidates, stream order
@@ -628,53 +687,20 @@ class TpuEngine:
         d_qp, d_dp, d_qlen, d_dlen,
         cfg: Config,
     ) -> None:
-        """One-shot gapped resolution: NW-align every unique passing
-        (query read, db read) pair in a single dispatch wave, then replay
-        the candidate stream on the host.
-
-        The reference walks each read's stream sequentially and stops at
-        the first *accepting* candidate (NWaligned,
-        src/alignmentFunctions.c:172,189-190); the aligner's verdict
-        depends only on the two full reads, so all verdicts can be
-        computed up front and the sequential walk replayed for free.  One
-        wave costs one device round-trip; the previous head-walking loop
-        paid one per rejection round (~30 ms each behind a tunneled TPU)."""
+        """One-shot gapped resolution: NW-align every unique passing pair
+        in a single dispatch wave (one device round trip), then judge and
+        replay (_judge_and_replay)."""
         if not len(pass_r):
             return
-        n_db = max(self.db.n_seqs, 1)
-        key = pass_r.astype(np.int64) * n_db + pass_sid
-        _, first_idx = np.unique(key, return_index=True)
-        first_idx.sort()  # unique pairs, stream order of first occurrence
-        ck = key[first_idx]
-        if rejected_keys:
-            fresh = np.array([k not in rejected_keys for k in ck], bool)
-            first_idx, ck = first_idx[fresh], ck[fresh]
-        cr = pass_r[first_idx].astype(np.int64)
-        cs = pass_sid[first_idx].astype(np.int64)
-
+        cr, cs, ck, key = self._dedup_pairs(pass_r, pass_sid, rejected_keys)
         with self.timer.phase("resolve.nw"):
             results = self._run_nw_pairs(
                 cr, cs, qlens, d_qp, d_dp, d_qlen, d_dlen
             )
-        verdicts: Dict[int, Tuple[int, int, int]] = {}
-        for k, (length, idents, ylen) in enumerate(results):
-            if (
-                length / ylen >= cfg.min_coverage
-                and idents / length >= cfg.min_identity
-            ):
-                verdicts[int(ck[k])] = (length, idents, ylen)
-            else:
-                rejected_keys.add(int(ck[k]))
-
-        # Replay the stream: first candidate whose pair accepts wins.
-        for i in range(len(pass_r)):
-            r = int(pass_r[i])
-            if resolved[r]:
-                continue
-            v = verdicts.get(int(key[i]))
-            if v is not None:
-                resolved[r] = True
-                accepted_records.append(AcceptedRead(r, int(pass_sid[i]), *v))
+        self._judge_and_replay(
+            results, ck, pass_r, pass_sid, key,
+            rejected_keys, resolved, accepted_records, cfg,
+        )
 
     # ------------------------------------------------------------------
     def compare(self, q: SeqInfo) -> PipelineResult:
@@ -772,39 +798,77 @@ class TpuEngine:
                 qoffs = (kp[ts] + FIXED_K - q_start[rids]).astype(np.int32)
                 return rids.astype(np.int32), hits, qoffs
 
-            def run_stage(read_ids, from_rank, to_rank):
+            def run_gate(read_ids, from_rank, to_rank):
+                """Gate a rank window; returns the passing candidates'
+                (read, db read) flat arrays in stream order (rids is
+                non-decreasing along the flat stream)."""
                 rids, hits, qoffs = build_flat(read_ids, from_rank, to_rank)
                 self._n_cands += len(rids)
                 with self.timer.phase("resolve.extend"):
                     passes = self._gate(
                         rids, hits, qoffs, thr, d_thr, d_qp, d_qlen, window
                     )
-                # flat passing candidates, stream order preserved (rids is
-                # non-decreasing along the flat stream)
                 pidx = np.flatnonzero(passes)
-                self._align_and_accept(
-                    rids[pidx], idx.sid[hits[pidx]], qlens, rejected_keys,
-                    resolved, accepted_records, d_qp, d_dp, d_qlen, d_dlen,
-                    cfg,
-                )
+                return rids[pidx], idx.sid[hits[pidx]]
 
             with self.timer.phase("resolve"):
                 # Stage 1: first few candidates of every read (most reads
                 # accept their first candidate, mirroring the reference's
-                # early exit).  Stage 2: every remaining candidate of the
-                # reads stage 1 left unresolved.
+                # early exit).  Its NW wave is DISPATCHED but not fetched,
+                # and the stage-2 gate for reads with no passing stage-1
+                # candidate -- which wave 1 cannot possibly resolve --
+                # runs while that wave executes; only then is wave 1
+                # fetched.  The rare reads whose stage-1 pairs all got
+                # rejected gate their remainder afterwards, and one final
+                # NW wave resolves everything stage 2 surfaced.
                 F = cfg.first_window
                 all_reads = np.flatnonzero(N_r > 0)
-                run_stage(
+                pr1, ps1 = run_gate(
                     all_reads,
                     np.zeros(len(all_reads), np.int64),
                     np.minimum(N_r[all_reads], F),
                 )
-                tail = np.flatnonzero(~resolved & (N_r > F))
-                if len(tail):
-                    run_stage(
-                        tail, np.full(len(tail), F, np.int64), N_r[tail]
+                cr1, cs1, ck1, key1 = self._dedup_pairs(
+                    pr1, ps1, rejected_keys
+                )
+                with self.timer.phase("resolve.nw"):
+                    P1, pend1 = self._nw_dispatch_pairs(
+                        cr1, cs1, qlens, d_qp, d_dp, d_qlen, d_dlen
                     )
+
+                has_pass = np.zeros(n, bool)
+                if len(pr1):
+                    has_pass[pr1] = True
+                spec = np.flatnonzero(~has_pass & (N_r > F))
+                if len(spec):
+                    pr2, ps2 = run_gate(
+                        spec, np.full(len(spec), F, np.int64), N_r[spec]
+                    )
+                else:
+                    pr2 = np.empty(0, np.int32)
+                    ps2 = np.empty(0, np.int64)
+
+                with self.timer.phase("resolve.nw"):
+                    results1 = self._nw_fetch_pairs(P1, pend1)
+                self._judge_and_replay(
+                    results1, ck1, pr1, ps1, key1,
+                    rejected_keys, resolved, accepted_records, cfg,
+                )
+
+                leftover = np.flatnonzero(~resolved & (N_r > F) & has_pass)
+                if len(leftover):
+                    pr3, ps3 = run_gate(
+                        leftover, np.full(len(leftover), F, np.int64),
+                        N_r[leftover],
+                    )
+                    # reads are disjoint from spec, so concatenation keeps
+                    # every read's candidates in stream order
+                    pr2 = np.concatenate([pr2, pr3])
+                    ps2 = np.concatenate([ps2, ps3])
+                self._align_and_accept(
+                    pr2, ps2, qlens, rejected_keys, resolved,
+                    accepted_records, d_qp, d_dp, d_qlen, d_dlen, cfg,
+                )
 
         with self.timer.phase("render"):
             accepted_records.sort(key=lambda a: a.qread)
