@@ -456,7 +456,8 @@ class TpuEngine:
 
     # ------------------------------------------------------------------
     def _gate(
-        self, rids32, hits, qoffs, thr, d_thr, d_qp, d_qlen, window
+        self, rids32, hits, qoffs, thr, d_thr, d_qp, d_qlen, window,
+        small_first=True,
     ) -> np.ndarray:
         """Gate a flat candidate list on device; returns bool[len(hits)].
 
@@ -484,7 +485,7 @@ class TpuEngine:
         else:
             a, b, c = hits, rids32, qoffs  # wide path reorders below
 
-        w_small = self.cfg.gate_window_small
+        w_small = self.cfg.gate_window_small if small_first else 0
         if w_small and w_small < window:
             p1, e1 = self._gate_chunks(
                 packed, a, b, c, thr, d_qp, d_qlen, w_small
@@ -513,6 +514,7 @@ class TpuEngine:
         N = len(hits)
         sizes = sorted(self.cfg.gate_chunks, reverse=True)
         pending = []
+        t_disp0 = __import__("time").perf_counter()
         pos = 0
         while pos < N:
             rem = N - pos
@@ -562,9 +564,14 @@ class TpuEngine:
                 )
             pending.append((pos, take, size, bits))
             pos += take
+        import time as _time
+
+        self.timer._acc["gate.dispatch"] += _time.perf_counter() - t_disp0
         passes = np.zeros(N, bool)
         exact = np.zeros(N, bool)
+        t_f0 = _time.perf_counter()
         fetched = jax.device_get([bits for _, _, _, bits in pending])
+        self.timer._acc["gate.fetch"] += _time.perf_counter() - t_f0
         for (pos, take, size, _), pb in zip(pending, fetched):
             pb = np.ascontiguousarray(pb, dtype="<u4")
             flat = np.unpackbits(
@@ -658,23 +665,36 @@ class TpuEngine:
         the verdict depends only on the two full reads, so all verdicts
         can be computed up front and the sequential walk replayed for
         free)."""
-        verdicts: Dict[int, Tuple[int, int, int]] = {}
-        for k, (length, idents, ylen) in enumerate(results):
-            if (
-                length / ylen >= cfg.min_coverage
-                and idents / length >= cfg.min_identity
-            ):
-                verdicts[int(ck[k])] = (length, idents, ylen)
-            else:
-                rejected_keys.add(int(ck[k]))
-        for i in range(len(pass_r)):
-            r = int(pass_r[i])
-            if resolved[r]:
-                continue
-            v = verdicts.get(int(key[i]))
-            if v is not None:
-                resolved[r] = True
-                accepted_records.append(AcceptedRead(r, int(pass_sid[i]), *v))
+        stats = np.asarray(results, np.int64).reshape(-1, 3)  # [K, 3]
+        length, idents, ylen = stats[:, 0], stats[:, 1], stats[:, 2]
+        ok = (length >= cfg.min_coverage * ylen) & (
+            idents >= cfg.min_identity * length
+        )
+        rejected_keys.update(int(k) for k in ck[~ok])
+        acc_rows = np.flatnonzero(ok)
+        if not len(acc_rows):
+            return
+        order = acc_rows[np.argsort(ck[acc_rows], kind="stable")]
+        acc_sorted = ck[order]
+        # First candidate (stream order) whose pair accepted wins its read:
+        # pass_r is non-decreasing along the flat stream, so the first
+        # surviving index per read is the winner.
+        p = np.searchsorted(acc_sorted, key)
+        pc = np.minimum(p, len(acc_sorted) - 1)
+        hit = acc_sorted[pc] == key
+        live = np.flatnonzero(hit & ~resolved[pass_r])
+        if len(live):
+            _, first = np.unique(pass_r[live], return_index=True)
+            win = live[first]
+            krow = order[pc[win]]  # stats row of the winning pair
+            resolved[pass_r[win]] = True
+            for i, k in zip(win, krow):
+                accepted_records.append(
+                    AcceptedRead(
+                        int(pass_r[i]), int(pass_sid[i]),
+                        int(length[k]), int(idents[k]), int(ylen[k]),
+                    )
+                )
 
     def _align_and_accept(
         self,
@@ -716,11 +736,7 @@ class TpuEngine:
         self._nw_cells = 0
         self._n_cands = 0
 
-        with self.timer.phase("kmer_stream"):
-            kp, K_off, lo, cnt, Ccum, C_off = self._kmer_stream(q)
         n = q.n_seqs
-        N_r = (C_off[1:] - C_off[:-1]) if n else np.empty(0, np.int64)
-
         qlens = q.read_lens() if n else np.empty(0, np.int64)
         thr = raw_score_threshold(qlens, db.total_len, cfg.min_e_value)
 
@@ -733,11 +749,11 @@ class TpuEngine:
         window = self._nw_bucket(max_rl)
         self._row_len = window
 
-        resolved = np.zeros(n, bool)
-        rejected_keys: Set[int] = set()
-        accepted_records: List[AcceptedRead] = []
-
-        if idx.n_entries and n and Ccum[-1]:
+        # Dispatch the device uploads FIRST (device_put / row unpacking are
+        # async), so H2D and the row build overlap the host k-mer scan
+        # below instead of serializing after it.
+        d_qp = d_dp = d_qlen = d_thr = d_dlen = None
+        if n and db.n_seqs:
             with self.timer.phase("upload"):
                 d_qp = self._rows_on_device(q.codes, q.start, qlens, window)
                 d_dp = self._packed_db_rows(window)
@@ -751,6 +767,16 @@ class TpuEngine:
                 )
                 d_dlen = self._d_dlen
                 self._last_dev = (d_qp, d_dp, d_qlen, d_dlen)
+
+        with self.timer.phase("kmer_stream"):
+            kp, K_off, lo, cnt, Ccum, C_off = self._kmer_stream(q)
+        N_r = (C_off[1:] - C_off[:-1]) if n else np.empty(0, np.int64)
+
+        resolved = np.zeros(n, bool)
+        rejected_keys: Set[int] = set()
+        accepted_records: List[AcceptedRead] = []
+
+        if idx.n_entries and n and Ccum[-1]:
             q_start = q.start.astype(np.int64)
 
             def build_flat(read_ids, from_rank, to_rank):
@@ -798,15 +824,19 @@ class TpuEngine:
                 qoffs = (kp[ts] + FIXED_K - q_start[rids]).astype(np.int32)
                 return rids.astype(np.int32), hits, qoffs
 
-            def run_gate(read_ids, from_rank, to_rank):
+            def run_gate(read_ids, from_rank, to_rank, small_first=True):
                 """Gate a rank window; returns the passing candidates'
                 (read, db read) flat arrays in stream order (rids is
                 non-decreasing along the flat stream)."""
-                rids, hits, qoffs = build_flat(read_ids, from_rank, to_rank)
+                with self.timer.phase("gate.build"):
+                    rids, hits, qoffs = build_flat(
+                        read_ids, from_rank, to_rank
+                    )
                 self._n_cands += len(rids)
                 with self.timer.phase("resolve.extend"):
                     passes = self._gate(
-                        rids, hits, qoffs, thr, d_thr, d_qp, d_qlen, window
+                        rids, hits, qoffs, thr, d_thr, d_qp, d_qlen, window,
+                        small_first=small_first,
                     )
                 pidx = np.flatnonzero(passes)
                 return rids[pidx], idx.sid[hits[pidx]]
@@ -823,10 +853,15 @@ class TpuEngine:
                 # NW wave resolves everything stage 2 surfaced.
                 F = cfg.first_window
                 all_reads = np.flatnonzero(N_r > 0)
+                # Stage-1 candidates are ~half true-pair seeds whose walks
+                # span the whole read and escape the small tier anyway; on
+                # short-read windows the direct full-window gate costs the
+                # same device time and one fewer tunnel round trip.
                 pr1, ps1 = run_gate(
                     all_reads,
                     np.zeros(len(all_reads), np.int64),
                     np.minimum(N_r[all_reads], F),
+                    small_first=window > 256,
                 )
                 cr1, cs1, ck1, key1 = self._dedup_pairs(
                     pr1, ps1, rejected_keys
