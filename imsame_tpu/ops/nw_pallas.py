@@ -510,6 +510,375 @@ def _make_nw_stats_kernel(max_len: int):
     return kernel
 
 
+def _make_nw_stats_pipe_kernel(max_len: int):
+    """Phase-shifted pipelined twin of _make_nw_stats_kernel.
+
+    The plain wavefront kernel sweeps one pair per sublane row over 2L
+    diagonals with only min(d+1, 2L-1-d) of the L lanes valid -- 50% lane
+    occupancy.  Here K pairs *stream* through each sublane row with a
+    phase offset of exactly L steps: at global step d the "young" pair
+    k = d//L occupies lanes [0, e] (e = d mod L, its local diagonal) and
+    the "old" pair k-1 occupies lanes [e+1, L-1] (its local diagonal
+    e + L), which partitions all L lanes with zero overlap.  K pairs
+    finish in (K+1)*L steps instead of 2*L*K -- 2K/(K+1) ~ 1.8x fewer
+    steps at ~full occupancy.
+
+    Everything per-pair becomes per-lane-ownership:
+      * j index: j = e - lane for the young half, e + L - lane for the
+        old half (each pair's local diagonal minus its row).
+      * chars: the db char vector xc and the per-lane query chars yd are
+        carried state; one lane per step (the entering lane e) takes the
+        young pair's next char from flat per-row feed streams
+        (feed_x[r, d] = X of pair d//L at base e; feed_y likewise).  The
+        shift1 advance of yd crosses the ownership border exactly in
+        sync with it, so old-pair lanes keep seeing old-pair chars.
+      * lens: per-step young/old length feeds select by lane <= e.
+      * best cell: two (BBLK, 1) accumulators by pair parity; each step
+        reduces the young and old halves separately with the reference
+        tie-break, so each pair sees exactly the per-diagonal reduction
+        sequence of the unpipelined kernel.  The accumulator of parity p
+        resets when a new pair of that parity enters (e == 0).
+      * output: pair k's accumulator is flushed to out[:, k] by the
+        block index map -- the last grid step whose "old" pair is k
+        contains k's final diagonal, so its (winning) write is complete.
+
+    Ownership-transfer safety: every cross-lane read (shift1) of a cell
+    at (i-1, ...) or (i-2, ...) is guarded by the same lane/j bounds as
+    the unpipelined kernel, and a lane's first two steps under a new
+    owner only compute border/j<=1 cells whose gap reads are masked --
+    so no value ever crosses between pairs (bit-equality proven against
+    nw_stats_batch in tests/test_nw_stats.py)."""
+    L = max_len
+
+    def kernel(igap_ref, egap_ref, e_ref, py_ref, op_ref,
+               fx_ref, fy_ref, fy0_ref, fxl_y_ref, fyl_y_ref,
+               fxl_o_ref, fyl_o_ref,
+               bs_ref, bi_ref, bj_ref, bw_ref,
+               s1_ref, s2_ref, s3_ref, w1_ref, w2_ref, w3_ref,
+               mfs_ref, mfx_ref, mfy_ref, mfw_ref,
+               mcs_ref, mcx_ref, mcw_ref,
+               yd_ref, xc_ref,
+               a0s_ref, a0i_ref, a0j_ref, a0w_ref,
+               a1s_ref, a1i_ref, a1j_ref, a1w_ref):
+        dbase = pl.program_id(1) * jnp.int32(UNROLL)
+        igap = igap_ref[0, 0]
+        egap = egap_ref[0, 0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BBLK, L), 1)
+        NEG32 = jnp.int32(NEG)
+        P4 = jnp.int32(POINT)
+        M4 = jnp.int32(-POINT)
+        Z32 = jnp.int32(0)
+        ONE = jnp.int32(1)
+        SENT = jnp.int32(-(2**31) + 1)
+
+        def shift1(a, fill):
+            rolled = pltpu.roll(a, jnp.int32(1), axis=1)
+            return jnp.where(lane == 0, fill, rolled)
+
+        @pl.when(dbase == 0)
+        def _init():
+            neg = jnp.full((BBLK, L), NEG, jnp.int32)
+            zero = jnp.zeros((BBLK, L), jnp.int32)
+            for ref in (s1_ref, s2_ref, s3_ref, mfs_ref, mcs_ref):
+                ref[:] = neg
+            for ref in (w1_ref, w2_ref, w3_ref, mfx_ref, mfy_ref, mfw_ref,
+                        mcx_ref, mcw_ref, yd_ref, xc_ref):
+                ref[:] = zero
+            for ref in (a0s_ref, a1s_ref):
+                ref[:] = jnp.full((BBLK, 1), SENT)
+            for ref in (a0i_ref, a0j_ref, a0w_ref, a1i_ref, a1j_ref,
+                        a1w_ref):
+                ref[:] = jnp.zeros((BBLK, 1), jnp.int32)
+
+        for u in range(UNROLL):
+            e = e_ref[0, u]  # entering lane = young pair's local diagonal
+            py = py_ref[0, u]  # young pair's parity
+            x_new = fx_ref[:, u : u + 1]  # (BBLK, 1) young X[e]
+            y_new = fy_ref[:, u : u + 1]  # young Y[e]
+            y0 = fy0_ref[:, u : u + 1]  # young Y[0]
+            young = lane <= e
+            j_idx = jnp.where(young, e - lane, e + jnp.int32(L) - lane)
+            xlen = jnp.where(young, fxl_y_ref[:, u : u + 1],
+                             fxl_o_ref[:, u : u + 1])
+            ylen = jnp.where(young, fyl_y_ref[:, u : u + 1],
+                             fyl_o_ref[:, u : u + 1])
+
+            # entering lane takes the young pair's next db char; yd
+            # advances one lane with the young pair's next query char.
+            xc = jnp.where(lane == e, x_new, xc_ref[:])
+            xc_ref[:] = xc
+            yd = shift1(yd_ref[:], y_new)
+            yd_ref[:] = yd
+
+            valid = (lane < xlen) & (j_idx < ylen)
+            inner = valid & (lane >= 1) & (j_idx >= 1)
+            is_match = xc == yd
+            s_pm = jnp.where(is_match, P4, M4)
+            diag_add = jnp.where(is_match, jnp.int32((1 << 16) + 1), ONE)
+
+            s2 = s2_ref[:]
+            s3 = s3_ref[:]
+            t_im1_jm1 = shift1(s2, NEG32)
+            t_i_jm2 = s2
+            t_im1_jm2 = shift1(s3, NEG32)
+            t_im2_jm1 = shift1(t_im1_jm2, NEG32)
+            w2 = w2_ref[:]
+            w3 = w3_ref[:]
+            w_im1_jm1 = shift1(w2, Z32)
+            w_im1_jm2 = shift1(w3, Z32)
+            w_im2_jm1 = shift1(w_im1_jm2, Z32)
+
+            # mf update (before the cell), j > 1
+            mf_s = mfs_ref[:]
+            mf_x = mfx_ref[:]
+            mf_y = mfy_ref[:]
+            mf_w = mfw_ref[:]
+            mf_upd = valid & (lane >= 1) & (j_idx >= 2) & (mf_s <= t_i_jm2)
+            mf_s = jnp.where(mf_upd, t_im1_jm2, mf_s)
+            mf_x = jnp.where(mf_upd, lane - ONE, mf_x)
+            mf_y = jnp.where(mf_upd, j_idx - jnp.int32(2), mf_y)
+            mf_w = jnp.where(mf_upd, w_im1_jm2, mf_w)
+
+            # cell scores
+            mc_s = mcs_ref[:]
+            mc_x = mcx_ref[:]
+            mc_w = mcw_ref[:]
+            score_diag = t_im1_jm1 + s_pm
+            score_left = jnp.where(
+                j_idx >= 2,
+                mf_s + igap + (j_idx - (mf_y + 1)) * egap + s_pm, NEG32,
+            )
+            score_right = jnp.where(
+                lane >= 2,
+                mc_s + igap + (lane - (mc_x + 1)) * egap + s_pm, NEG32,
+            )
+            pick_diag = (score_diag >= score_left) & (
+                score_diag >= score_right
+            )
+            pick_right = (~pick_diag) & (score_right > score_left)
+            cell = jnp.where(
+                pick_diag, score_diag,
+                jnp.where(pick_right, score_right, score_left),
+            )
+
+            # packed path stats of this cell
+            dxl = lane - mf_x
+            dyl = j_idx - mf_y
+            add_left = jnp.where(dxl > dyl, dxl, dyl)
+            dxr = lane - mc_x
+            add_right = jnp.where(dxr > 1, dxr, ONE)
+            w_new = jnp.where(
+                pick_diag,
+                w_im1_jm1 + diag_add,
+                jnp.where(pick_right, mc_w + add_right, mf_w + add_left),
+            )
+
+            border = valid & ((lane == 0) | (j_idx == 0))
+            cell = jnp.where(border, s_pm, cell)
+            s0 = jnp.where(valid, cell, NEG32)
+            w0 = jnp.where(inner, w_new, Z32)
+
+            # mc update (after the cell), strict >, from two rows up
+            mc_upd = inner & (lane >= 2) & (j_idx >= 2) & (t_im2_jm1 > mc_s)
+            mc_s = jnp.where(mc_upd, t_im2_jm1, mc_s)
+            mc_x = jnp.where(mc_upd, lane - jnp.int32(2), mc_x)
+            mc_w = jnp.where(mc_upd, w_im2_jm1, mc_w)
+
+            # mf re-init from the young pair's column-0 cell (e, 0)
+            col0_ok = fxl_y_ref[:, u : u + 1] > e  # (BBLK, 1)
+            col0_score = jnp.where(x_new == y0, P4, M4)
+            upd_col = (lane == e) & col0_ok
+            mf_s = jnp.where(upd_col, col0_score, mf_s)
+            mf_x = jnp.where(upd_col, e, mf_x)
+            mf_y = jnp.where(upd_col, Z32, mf_y)
+            mf_w = jnp.where(upd_col, Z32, mf_w)
+            mfs_ref[:] = mf_s
+            mfx_ref[:] = mf_x
+            mfy_ref[:] = mf_y
+            mfw_ref[:] = mf_w
+
+            # advance mc: shift down, push the young pair's column e
+            row0_ok = fyl_y_ref[:, u : u + 1] > e
+            new_col_s = jnp.where(row0_ok, s0[:, 0:1], NEG32)
+            mcs_ref[:] = shift1(mc_s, new_col_s)
+            mcx_ref[:] = shift1(mc_x, Z32)
+            mcw_ref[:] = shift1(mc_w, Z32)
+
+            # best cell on last row/column: one masked reduction per
+            # ownership half, each feeding its parity's accumulator with
+            # the reference cross-diagonal take rule.
+            elig = inner & ((lane == xlen - 1) | (j_idx == ylen - 1))
+            packed = s0 * jnp.int32(8192) + lane
+            d_y = e  # young local diagonal
+            d_o = e + jnp.int32(L)  # old local diagonal
+
+            for half, d_loc, par in ((young, d_y, py),
+                                     (~young, d_o, ONE - py)):
+                hmax = jnp.max(
+                    jnp.where(elig & half, packed, SENT),
+                    axis=1, keepdims=True,
+                )
+                any_elig = hmax != SENT
+                ds = jnp.floor_divide(hmax, jnp.int32(8192))
+                di = hmax - ds * jnp.int32(8192)
+                at_di = (lane == di) & half
+                w_at = jnp.sum(
+                    jnp.where(at_di, w0, Z32), axis=1, keepdims=True
+                )
+                # accumulator of this half's parity (reset on entry)
+                use0 = par == 0
+                fresh = (e == 0) & (par == py)
+                acc_s = jnp.where(use0, a0s_ref[:], a1s_ref[:])
+                acc_s = jnp.where(fresh, SENT, acc_s)
+                acc_i = jnp.where(use0, a0i_ref[:], a1i_ref[:])
+                acc_i = jnp.where(fresh, Z32, acc_i)
+                acc_j = jnp.where(use0, a0j_ref[:], a1j_ref[:])
+                acc_j = jnp.where(fresh, Z32, acc_j)
+                acc_w = jnp.where(use0, a0w_ref[:], a1w_ref[:])
+                acc_w = jnp.where(fresh, Z32, acc_w)
+                take = any_elig & (
+                    (ds > acc_s) | ((ds == acc_s) & (di >= acc_i))
+                )
+                acc_s = jnp.where(take, ds, acc_s)
+                acc_i = jnp.where(take, di, acc_i)
+                acc_j = jnp.where(take, d_loc - di, acc_j)
+                acc_w = jnp.where(take, w_at, acc_w)
+                a0s_ref[:] = jnp.where(use0, acc_s, a0s_ref[:])
+                a0i_ref[:] = jnp.where(use0, acc_i, a0i_ref[:])
+                a0j_ref[:] = jnp.where(use0, acc_j, a0j_ref[:])
+                a0w_ref[:] = jnp.where(use0, acc_w, a0w_ref[:])
+                a1s_ref[:] = jnp.where(use0, a1s_ref[:], acc_s)
+                a1i_ref[:] = jnp.where(use0, a1i_ref[:], acc_i)
+                a1j_ref[:] = jnp.where(use0, a1j_ref[:], acc_j)
+                a1w_ref[:] = jnp.where(use0, a1w_ref[:], acc_w)
+
+            # rotate score + stat diagonals
+            s3_ref[:] = s2
+            s2_ref[:] = s1_ref[:]
+            s1_ref[:] = s0
+            w3_ref[:] = w2
+            w2_ref[:] = w1_ref[:]
+            w1_ref[:] = w0
+
+        # flush the completing pair's accumulator (out block index map
+        # points this grid step at that pair's slot; the last grid step
+        # writing a slot holds its final diagonals, so its write wins).
+        op = op_ref[0, 0]  # parity of the pair this step's out slot holds
+        use0 = op == 0
+        bs_ref[:] = jnp.where(use0, a0s_ref[:], a1s_ref[:])
+        bi_ref[:] = jnp.where(use0, a0i_ref[:], a1i_ref[:])
+        bj_ref[:] = jnp.where(use0, a0j_ref[:], a1j_ref[:])
+        bw_ref[:] = jnp.where(use0, a0w_ref[:], a1w_ref[:])
+
+    return kernel
+
+
+# Pairs streamed per sublane row in the pipelined stats kernel.
+PIPE_K = 8
+
+
+@functools.partial(jax.jit, static_argnames=("max_len", "interpret"))
+def nw_stats_batch_pallas_pipe(
+    X: jax.Array,  # [B, L] uint8 codes
+    Y: jax.Array,
+    xlen: jax.Array,  # [B]
+    ylen: jax.Array,
+    igap,
+    egap,
+    *,
+    max_len: int,
+    interpret: bool = False,
+) -> NWStatsResult:
+    """Pipelined stats aligner: K pairs per sublane row, ~full lane
+    occupancy (see _make_nw_stats_pipe_kernel).  Bit-equal to
+    nw_stats_batch / nw_stats_batch_pallas."""
+    B, L = X.shape
+    K = PIPE_K
+    assert L == max_len and L % 128 == 0
+    assert B % (BBLK * K) == 0, (B, BBLK, K)
+    assert L % UNROLL == 0
+    R = B // K  # sublane rows; row r streams pairs r*K .. r*K+K-1
+    NS = (K + 1) * L  # total steps (pair K-1 ends at (K+1)L - 2)
+    n_grid = NS // UNROLL
+    grid = (R // BBLK, n_grid)
+
+    Xi = X.astype(jnp.int32)
+    Yi = Y.astype(jnp.int32)
+    xl = xlen.astype(jnp.int32)
+    yl = ylen.astype(jnp.int32)
+
+    # Per-row feed streams: entry d of row r belongs to pair r*K + d//L.
+    padL = jnp.zeros((R, L), jnp.int32)
+    fx = jnp.concatenate([Xi.reshape(R, K * L), padL], axis=1)
+    fy = jnp.concatenate([Yi.reshape(R, K * L), padL], axis=1)
+    rep = lambda v: jnp.repeat(v.reshape(R, K), L, axis=1)
+    fy0 = jnp.concatenate([rep(Yi[:, 0]), padL], axis=1)
+    fxl_y = jnp.concatenate([rep(xl), padL], axis=1)
+    fyl_y = jnp.concatenate([rep(yl), padL], axis=1)
+    # old-pair lens: shifted one phase right; first L steps have no old
+    # pair (len 0 = all lanes invalid).
+    fxl_o = jnp.concatenate([padL, rep(xl)], axis=1)
+    fyl_o = jnp.concatenate([padL, rep(yl)], axis=1)
+
+    steps = jnp.arange(NS, dtype=jnp.int32)
+    e_step = (steps % L).reshape(1, NS)
+    py_step = ((steps // L) & 1).reshape(1, NS)
+    # out slot of grid step g is pair max(g*U//L - 1, 0); its parity:
+    gsteps = jnp.arange(n_grid, dtype=jnp.int32)
+    op_step = (jnp.maximum(gsteps * UNROLL // L - 1, 0) & 1).reshape(
+        1, n_grid
+    )
+
+    kernel = _make_nw_stats_pipe_kernel(L)
+    scr = [pltpu.VMEM((BBLK, L), jnp.int32)] * 15 + [
+        pltpu.VMEM((BBLK, 1), jnp.int32)
+    ] * 8
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((R, K), jnp.int32) for _ in range(4)
+    )
+    smem11 = pl.BlockSpec((1, 1), lambda b, g: (0, 0), memory_space=pltpu.SMEM)
+    smemU = pl.BlockSpec((1, UNROLL), lambda b, g: (0, g),
+                         memory_space=pltpu.SMEM)
+    smem1g = pl.BlockSpec((1, 1), lambda b, g: (0, g),
+                          memory_space=pltpu.SMEM)
+    feedU = lambda: pl.BlockSpec(
+        (BBLK, UNROLL), lambda b, g: (b, g), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (BBLK, 1),
+        lambda b, g: (b, jnp.maximum(g * UNROLL // L - 1, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    bs, bi, bj, bw = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem11, smem11, smemU, smemU, smem1g,
+                  feedU(), feedU(), feedU(), feedU(), feedU(),
+                  feedU(), feedU()],
+        out_specs=tuple(out_spec for _ in range(4)),
+        out_shape=out_shape,
+        scratch_shapes=scr,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(
+        jnp.asarray(igap, jnp.int32).reshape(1, 1),
+        jnp.asarray(egap, jnp.int32).reshape(1, 1),
+        e_step,
+        py_step,
+        op_step,
+        fx, fy, fy0, fxl_y, fyl_y, fxl_o, fyl_o,
+    )
+    return NWStatsResult(
+        best_score=bs.reshape(B),
+        best_i=bi.reshape(B),
+        best_j=bj.reshape(B),
+        length=bw.reshape(B) & 0xFFFF,
+        identities=bw.reshape(B) >> 16,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("max_len", "interpret"))
 def nw_stats_batch_pallas(
     X: jax.Array,  # [B, L] uint8 codes

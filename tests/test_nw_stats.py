@@ -56,6 +56,28 @@ def test_stats_matches_traceback(seed):
     np.testing.assert_array_equal(np.asarray(st.identities), np.asarray(tb.identities))
 
 
+@pytest.mark.parametrize("seed", [0, 7, 11])
+def test_stats_pallas_pipe_interpret_matches_jnp(seed):
+    """The pipelined multi-pair stats kernel (K pairs streamed per sublane
+    row) must be bit-equal to the jnp stats aligner on ragged mixed
+    batches (B = BBLK * PIPE_K, exercising ramp, steady state, drain)."""
+    from imsame_tpu.ops.nw_pallas import BBLK, PIPE_K, nw_stats_batch_pallas_pipe
+
+    rng = np.random.default_rng(seed)
+    L, B = 128, 2 * BBLK * PIPE_K
+    X, Y, xlen, ylen = _mixed_pairs(rng, B, L)
+    st = nw_stats_batch(
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(xlen), jnp.asarray(ylen),
+        -5, -2, max_len=L,
+    )
+    sp = nw_stats_batch_pallas_pipe(
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(xlen), jnp.asarray(ylen),
+        -5, -2, max_len=L, interpret=True,
+    )
+    for a, b in zip(st, sp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("seed", [0, 7])
 def test_stats_pallas_interpret_matches_jnp(seed):
     rng = np.random.default_rng(seed)
