@@ -140,6 +140,19 @@ def main() -> int:
         scaling = json.loads(
             (Path(__file__).parent / "BENCH_SCALING.json").read_text()
         )
+        # bench_scaling.py stamps git_rev/run_date; flag the rider as
+        # stale when it was not measured at the current revision.
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=Path(__file__).parent, capture_output=True, text=True,
+            timeout=10,
+        ).stdout.strip()
+        if scaling.get("git_rev") != head:
+            scaling["stale"] = (
+                f"measured at {scaling.get('git_rev')}, HEAD is {head}"
+            )
     except (OSError, ValueError):
         pass
 

@@ -62,14 +62,49 @@ def main() -> int:
         k: round(v / results["single"], 3) for k, v in results.items()
         if k != "single"
     }
-    print(json.dumps({
+    summary = {
         "metric": "sharding overhead (T_mesh / T_single, virtual CPU mesh)",
         "value": overhead.get("8x1"),
         "unit": "x",
         "overhead_by_mesh": overhead,
+        "reads_per_s_by_mesh": {
+            k: round(n_reads / v, 1) for k, v in results.items()
+        },
         "n_reads": n_reads,
-    }))
+        **_stamp(),
+        "note": (
+            "bench_scaling.py on the 8-virtual-device CPU mesh; values "
+            "< 1.0 mean the mesh-sharded engine is FASTER than "
+            "single-device on the same host (sharding overhead fully "
+            "hidden).  True multi-chip speedup is not measurable with one "
+            "real TPU chip; device-compute scaling is structural (chunks "
+            "divide exactly over the mesh)."
+        ),
+    }
+    print(json.dumps(summary))
+    from pathlib import Path
+
+    (Path(__file__).parent / "BENCH_SCALING.json").write_text(
+        json.dumps(summary, indent=1) + "\n"
+    )
     return 0
+
+
+def _stamp() -> dict:
+    """Git revision + date of this measurement, so bench.py (which embeds
+    the saved JSON every run) can flag a stale artifact."""
+    import subprocess
+    from datetime import date as _date
+
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except OSError:
+        rev = None
+    return {"git_rev": rev, "run_date": _date.today().isoformat()}
 
 
 if __name__ == "__main__":

@@ -43,6 +43,7 @@ leaves the owning read and per-read packed rows are sufficient.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Dict, List, Optional, Set, Tuple
 
 import jax
@@ -514,7 +515,9 @@ class TpuEngine:
         N = len(hits)
         sizes = sorted(self.cfg.gate_chunks, reverse=True)
         pending = []
-        t_disp0 = __import__("time").perf_counter()
+        # gate.dispatch / gate.fetch are sub-spans of resolve.extend (the
+        # same wall time appears under both keys in the reported timings).
+        t_disp0 = time.perf_counter()
         pos = 0
         while pos < N:
             rem = N - pos
@@ -564,14 +567,12 @@ class TpuEngine:
                 )
             pending.append((pos, take, size, bits))
             pos += take
-        import time as _time
-
-        self.timer._acc["gate.dispatch"] += _time.perf_counter() - t_disp0
+        self.timer.accumulate("gate.dispatch", time.perf_counter() - t_disp0)
         passes = np.zeros(N, bool)
         exact = np.zeros(N, bool)
-        t_f0 = _time.perf_counter()
+        t_f0 = time.perf_counter()
         fetched = jax.device_get([bits for _, _, _, bits in pending])
-        self.timer._acc["gate.fetch"] += _time.perf_counter() - t_f0
+        self.timer.accumulate("gate.fetch", time.perf_counter() - t_f0)
         for (pos, take, size, _), pb in zip(pending, fetched):
             pb = np.ascontiguousarray(pb, dtype="<u4")
             flat = np.unpackbits(
@@ -676,9 +677,12 @@ class TpuEngine:
             return
         order = acc_rows[np.argsort(ck[acc_rows], kind="stable")]
         acc_sorted = ck[order]
-        # First candidate (stream order) whose pair accepted wins its read:
-        # pass_r is non-decreasing along the flat stream, so the first
-        # surviving index per read is the winner.
+        # First candidate (stream order) whose pair accepted wins its read.
+        # Invariant: each read's candidates appear in stream order within
+        # the flat arrays (reads from different gate segments may
+        # interleave in id space, so pass_r is NOT globally monotonic);
+        # np.unique(return_index) picks the first array occurrence per
+        # read, which is that read's earliest surviving candidate.
         p = np.searchsorted(acc_sorted, key)
         pc = np.minimum(p, len(acc_sorted) - 1)
         hit = acc_sorted[pc] == key

@@ -26,6 +26,12 @@ class PhaseTimer:
         finally:
             self._acc[name] += time.perf_counter() - t0
 
+    def accumulate(self, name: str, seconds: float) -> None:
+        """Add an externally measured interval to a phase (for sub-spans
+        that cannot be expressed as a with-block, e.g. dispatch/fetch
+        halves of an overlapped stage)."""
+        self._acc[name] += seconds
+
     def items(self) -> Iterator[Tuple[str, float]]:
         return iter(dict(self._acc).items())
 

@@ -1,12 +1,18 @@
 """CLI end-to-end: flags mirror the reference, output file byte-parity."""
 
 import random
+import re
 import sys
 
 import pytest
 
 from imsame_tpu import cli
 from util_synth import make_pair, reference_binaries, run_reference
+
+# Timing values differ by definition (the reference reports clock()
+# CPU-seconds, src/IMSAME.c:470; we report wall time) -- mask the numeric
+# field of every "%e seconds" occurrence before comparing stdout.
+TIME_RE = re.compile(r"\d\.\d{6}e[+-]\d{2,3}(?= seconds)")
 
 
 def test_cli_roundtrip(tmp_path, capsys):
@@ -29,6 +35,33 @@ def test_cli_roundtrip(tmp_path, capsys):
     assert out.read_bytes() == ref_out.read_bytes()
     cap = capsys.readouterr().out
     assert "Jaccard-index" in cap
+
+
+def test_cli_stdout_info_parity(tmp_path, capsys):
+    """Every reference [INFO] line (src/IMSAME.c:63-473) appears byte-
+    identically in our stdout, with timing values masked (CPU- vs
+    wall-seconds)."""
+    ref = reference_binaries()
+    if ref is None:
+        pytest.skip("reference binaries unavailable")
+    imsame, _ = ref
+    rng = random.Random(6)
+    qp, dp = make_pair(tmp_path, rng, n_query=25, n_db=25, read_len=140,
+                       sub_rate=0.05, indel_rate=0.02)
+    ref_stdout = run_reference(imsame, qp, dp, tmp_path / "r.align",
+                               n_threads=1)
+    rc = cli.main([
+        "-query", str(qp), "-db", str(dp),
+        "-out", str(tmp_path / "o.align"), "-n_threads", "1",
+    ])
+    assert rc == 0
+    ours = capsys.readouterr().out
+
+    def masked_info(s: str):
+        return [TIME_RE.sub("<t>", ln) for ln in s.splitlines()
+                if ln.startswith("[INFO]")]
+
+    assert masked_info(ours) == masked_info(ref_stdout)
 
 
 def test_cli_flag_negation():
