@@ -20,8 +20,6 @@ read a query pairs with first.
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 
 from ..constants import FIXED_K
@@ -49,7 +47,6 @@ def rolling_keys(codes: np.ndarray, k: int = FIXED_K) -> np.ndarray:
     return keys
 
 
-@dataclasses.dataclass
 class KmerIndex:
     """Flat sorted k-mer index (host arrays; device copies made on demand).
 
@@ -57,34 +54,76 @@ class KmerIndex:
     reference's 4^12 pointer table (src/alignmentFunctions.h:4-6): entry
     [key] is the first index of that key's bucket, [key+1] one past it.
     Lookup is two O(1) gathers instead of a binary search per k-mer.
+
+    ``packed`` holds the device-payload words (sid << 12) | (pos -
+    start[sid]); valid only when db_n_seqs < 2^20 and read lengths < 4096
+    (pipeline checks).  In that regime the native build scatters ONLY
+    these words (the scatter is the build's bandwidth bottleneck) and
+    ``keys``/``pos``/``sid`` are derived lazily on first access:
+      keys  from bucket_start (each bucket's key repeated count times)
+      sid   = packed >> 12
+      pos   = db_start[sid] + (packed & 0xFFF)
+    The hot pipeline path never touches them (it gathers packed directly).
     """
 
-    keys: np.ndarray  # uint32 [N], ascending
-    pos: np.ndarray  # int64 [N], one-past k-mer end; descending within a key
-    sid: np.ndarray  # int64 [N]
-    db_total_len: int
-    db_n_seqs: int
-    bucket_start: np.ndarray = None  # int64 [4^k + 1]
-    # Optional device-payload words (sid << 12) | (pos - start[sid]),
-    # emitted for free by the native build; valid only when
-    # db_n_seqs < 2^20 and read lengths < 4096 (pipeline checks).
-    packed: np.ndarray = None  # uint32 [N] or None
-
-    def __post_init__(self):
-        if self.bucket_start is None:
+    def __init__(
+        self,
+        keys: np.ndarray = None,  # uint32 [N], ascending
+        pos: np.ndarray = None,  # int32 [N], one-past k-mer end;
+        # descending within a key
+        sid: np.ndarray = None,  # int32 [N]
+        db_total_len: int = 0,
+        db_n_seqs: int = 0,
+        bucket_start: np.ndarray = None,  # int32 [4^k + 1]
+        packed: np.ndarray = None,  # uint32 [N] or None
+        db_start: np.ndarray = None,  # int64 [n_seqs]; for lazy pos
+    ):
+        self._keys = keys
+        self._pos = pos
+        self._sid = sid
+        self.db_total_len = db_total_len
+        self.db_n_seqs = db_n_seqs
+        self.packed = packed
+        self._db_start = db_start
+        if bucket_start is None:
             n_keys = 4**FIXED_K
-            counts = np.bincount(self.keys, minlength=n_keys)
+            counts = np.bincount(keys, minlength=n_keys)
             # int32: halves the memory traffic of the two random gathers
             # per query k-mer (the table is 67 MB; cache-resident slices
             # matter more than the cumsum cost).  cumsum natively then
             # cast -- cumsum with a casting `out=` is ~14x slower.
-            self.bucket_start = np.empty(n_keys + 1, np.int32)
-            self.bucket_start[0] = 0
-            self.bucket_start[1:] = counts.cumsum(dtype=np.int64)
+            bucket_start = np.empty(n_keys + 1, np.int32)
+            bucket_start[0] = 0
+            bucket_start[1:] = counts.cumsum(dtype=np.int64)
+        self.bucket_start = bucket_start
+
+    @property
+    def keys(self) -> np.ndarray:
+        if self._keys is None:
+            counts = np.diff(self.bucket_start)
+            self._keys = np.repeat(
+                np.arange(len(counts), dtype=np.uint32), counts
+            )
+        return self._keys
+
+    @property
+    def sid(self) -> np.ndarray:
+        if self._sid is None:
+            self._sid = (self.packed >> np.uint32(12)).astype(np.int32)
+        return self._sid
+
+    @property
+    def pos(self) -> np.ndarray:
+        if self._pos is None:
+            doff = self.packed & np.uint32(0xFFF)
+            self._pos = (
+                self._db_start[self.sid] + doff
+            ).astype(np.int32)
+        return self._pos
 
     @property
     def n_entries(self) -> int:
-        return len(self.keys)
+        return int(self.bucket_start[-1])
 
     def lookup_range(self, key: int):
         """[lo, hi) range of a single key (host path, used by the oracle)."""
@@ -134,17 +173,23 @@ def build_index(db: SeqInfo, k: int = FIXED_K) -> KmerIndex:
     if k <= 16:
         from .. import native
 
-        arrs = native.build_index_arrays(db.codes, db.fresh, db.start, k)
+        lens = db.read_lens()
+        packable = db.n_seqs < (1 << 20) and (
+            db.n_seqs == 0 or int(lens.max()) < 4096
+        )
+        arrs = native.build_index_arrays(
+            db.codes, db.fresh, db.start, k, packable
+        )
         if arrs is not None:
-            keys, pos, sid, bucket_start, packed = arrs
+            bucket_start, packed, pos, sid = arrs
             return KmerIndex(
-                keys=keys,
                 pos=pos,
                 sid=sid,
                 db_total_len=db.total_len,
                 db_n_seqs=db.n_seqs,
                 bucket_start=bucket_start,
                 packed=packed,
+                db_start=db.start,
             )
 
     starts = valid_db_kmer_starts(db, k)

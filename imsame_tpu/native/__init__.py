@@ -33,7 +33,7 @@ i64 = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 def _build() -> bool:
     cmd = [
         "gcc", "-O3", "-shared", "-fPIC", "-fvisibility=hidden",
-        _SRC, "-o", _SO + ".tmp",
+        _SRC, "-o", _SO + ".tmp", "-lpthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -54,13 +54,10 @@ def _load():
     except OSError:
         return None
 
-    lib.imsame_index_count.restype = ctypes.c_int64
-    lib.imsame_index_count.argtypes = [i8, i8, ctypes.c_int64, ctypes.c_int32, i32]
-
-    lib.imsame_index_fill.restype = None
-    lib.imsame_index_fill.argtypes = [
+    lib.imsame_index_build.restype = ctypes.c_int64
+    lib.imsame_index_build.argtypes = [
         i8, i8, i64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-        ctypes.c_int64, i32, i32, u32, i32, i32, u32,
+        ctypes.c_int64, ctypes.c_int32, i32, u32, ctypes.c_int32, i32, i32,
     ]
 
     lib.imsame_kmer_stream.restype = None
@@ -79,30 +76,44 @@ def _load():
 lib = None if os.environ.get("IMSAME_NO_NATIVE") else _load()
 
 
-def build_index_arrays(codes, fresh, start, k: int):
-    """Counting-sort index build.  Returns (keys, pos, sid, bucket_start,
-    packed) sorted by (key asc, pos desc), or None if the native lib is
-    unavailable.  ``packed`` holds the (sid << 12 | doff) device-payload
-    words; only valid when n_seqs < 2^20 and read lengths < 4096."""
+def build_index_arrays(codes, fresh, start, k: int, packable: bool):
+    """Parallel counting-sort index build (pthreads over input ranges).
+    Returns (bucket_start, packed, pos, sid) sorted by (key asc, pos desc),
+    or None if the native lib is unavailable.  In the packable regime
+    (n_seqs < 2^20 and read lengths < 4096) only the (sid << 12 | doff)
+    device-payload words are scattered -- the bandwidth bottleneck of the
+    build -- and pos/sid come back None (KmerIndex derives them lazily);
+    otherwise packed is None and pos/sid are filled."""
     if lib is None:
         return None
     n = len(codes)
     nb = 4**k
-    bucket_start = np.zeros(nb + 1, np.int32)
+    bucket_start = np.empty(nb + 1, np.int32)
     codes = np.ascontiguousarray(codes, np.uint8)
     fresh_u8 = np.ascontiguousarray(fresh, np.uint8)
     start = np.ascontiguousarray(start, np.int64)
-    total = lib.imsame_index_count(codes, fresh_u8, n, k, bucket_start)
-    keys = np.empty(total, np.uint32)
-    pos = np.empty(total, np.int32)
-    sid = np.empty(total, np.int32)
-    packed = np.empty(total, np.uint32)
-    fill = np.empty(nb, np.int32)
-    lib.imsame_index_fill(
+    cap = max(n, 1)
+    dummy_u32 = np.empty(1, np.uint32)
+    dummy_i32 = np.empty(1, np.int32)
+    if packable:
+        packed = np.empty(cap, np.uint32)
+        pos = sid = None
+        args = (packed, 1, dummy_i32, dummy_i32)
+    else:
+        packed = None
+        pos = np.empty(cap, np.int32)
+        sid = np.empty(cap, np.int32)
+        args = (dummy_u32, 0, pos, sid)
+    total = lib.imsame_index_build(
         codes, fresh_u8, start, len(start), n, k, nb,
-        bucket_start, fill, keys, pos, sid, packed,
+        os.cpu_count() or 1, bucket_start, *args,
     )
-    return keys, pos, sid, bucket_start, packed
+    if total < 0:  # allocation failure in C; numpy fallback
+        return None
+    t = int(total)
+    if packable:
+        return bucket_start, packed[:t], None, None
+    return bucket_start, None, pos[:t], sid[:t]
 
 
 def kmer_stream_arrays(codes, qlo, n_kmers, k: int, bucket_start):

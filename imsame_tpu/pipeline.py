@@ -843,7 +843,13 @@ class TpuEngine:
                         small_first=small_first,
                     )
                 pidx = np.flatnonzero(passes)
-                return rids[pidx], idx.sid[hits[pidx]]
+                if idx.packed is not None:
+                    sids = (idx.packed[hits[pidx]] >> np.uint32(12)).astype(
+                        np.int64
+                    )
+                else:
+                    sids = idx.sid[hits[pidx]]
+                return rids[pidx], sids
 
             with self.timer.phase("resolve"):
                 # Stage 1: first few candidates of every read (most reads
