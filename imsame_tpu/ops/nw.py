@@ -48,7 +48,9 @@ import jax.numpy as jnp
 
 from ..constants import POINT
 
-NEG = jnp.int32(-(2**28))  # "minus infinity" safe against int32 overflow
+NEG = -(2**28)  # "minus infinity" safe against int32 overflow (Python int:
+# a module-level jnp constant would initialize the XLA backend at import,
+# breaking jax.distributed.initialize in multi-process runs)
 PACK = 4096  # coordinate packing base; MAX_READ_SIZE=3000 < 4096
 
 # Backpointer word layout (int32): bits 0-23 = xfrom*PACK+yfrom (< 2^24
@@ -59,7 +61,7 @@ PACK = 4096  # coordinate packing base; MAX_READ_SIZE=3000 < 4096
 # otherwise) while staying bit-equivalent.  -1 stays the no-cell
 # sentinel: its low 24 bits decode to coords >= 3072, unreachable.
 RUN_CAP = 15
-BP_MASK = jnp.int32(0x00FFFFFF)
+BP_MASK = 0x00FFFFFF  # Python int (see NEG)
 
 
 class NWResult(NamedTuple):

@@ -229,6 +229,7 @@ def main(argv=None) -> int:
     )
     a = p.parse_args(argv)
     host_id, n_hosts = a.host_id, a.n_hosts
+    ctx = None
     if a.distributed:
         from .distributed import init_distributed
 
@@ -239,6 +240,19 @@ def main(argv=None) -> int:
     stats = runner.run(list_samples(a.directory, a.extension))
     for name, s in sorted(stats.items()):
         print(f"{name}: accepted={s['accepted']} jaccard={s['jaccard']:.6e}")
+    if ctx is not None and ctx.is_distributed:
+        # Merge the sweep-level tally across processes (SURVEY.md 5.8:
+        # psum of per-host accepted counts) -- every process prints the
+        # same global number.
+        from .distributed import allreduce_sum
+
+        total = allreduce_sum(
+            sum(s["accepted"] for s in stats.values()), ctx
+        )
+        print(
+            f"[INFO] Distributed sweep total accepted reads: {total} "
+            f"({ctx.num_processes} processes)"
+        )
     return 0
 
 

@@ -15,7 +15,11 @@ from jax.sharding import Mesh
 
 
 def make_mesh(n_data: Optional[int] = None, n_dict: int = 1, devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    # local_devices, NOT devices: under jax.distributed the orchestrator's
+    # parallelism is task-level (each process owns a stripe of pair jobs,
+    # orchestrator.py), so every engine meshes over the devices its own
+    # process can address.  Single-process, local == global.
+    devices = devices if devices is not None else jax.local_devices()
     if n_data is None:
         n_data = len(devices) // n_dict
     assert n_data * n_dict <= len(devices), (

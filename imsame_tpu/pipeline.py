@@ -214,7 +214,8 @@ class TpuEngine:
         from .parallel.mesh import make_mesh
 
         if ms == "auto":
-            nd = len(jax.devices())
+            nd = len(jax.local_devices())  # task-level distribution: each
+            # process meshes over its own addressable devices (mesh.py)
             if nd <= 1:
                 return None
             # Largest data-axis width every fixed batch shape divides
