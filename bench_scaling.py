@@ -45,19 +45,50 @@ def main() -> int:
     db = codes_to_seqinfo(dbc)
 
     results = {}
-    for shape in (None, (2, 1), (4, 1), (8, 1), (4, 2)):
+    stages = {}
+    # (2,4)/(1,8) exercise the dict-ROUTED gate (n_dict > 1); their gate
+    # wall vs (8,1)/single shows whether the dict axis buys throughput,
+    # not just capacity (parallel/sharded.py make_engine_gate_step_routed).
+    for shape in (None, (2, 1), (4, 1), (8, 1), (4, 2), (2, 4), (1, 8)):
         eng = TpuEngine(db, Config(mesh_shape=shape))
         eng.compare(q)  # warmup: compile every shape
+        eng.timer.reset()
         t0 = time.perf_counter()
         res = eng.compare(q)
         dt = time.perf_counter() - t0
         key = "single" if shape is None else f"{shape[0]}x{shape[1]}"
         results[key] = round(dt, 3)
+        t = dict(eng.timer.items())
+        stages[key] = {
+            "gate_wall": round(
+                t.get("gate.dispatch", 0.0) + t.get("gate.fetch", 0.0), 3
+            ),
+            "nw_wall": round(t.get("resolve.nw", 0.0), 3),
+            "extend_wall": round(t.get("resolve.extend", 0.0), 3),
+        }
         print(json.dumps({
             "mesh": key, "seconds": round(dt, 3),
             "reads_per_s": round(n_reads / dt, 1),
-            "accepted": res.accepted,
+            "accepted": res.accepted, "stages": stages[key],
         }))
+    # A/B the dict-routed gate against the broadcast (mask+psum) step on
+    # the same 1x8 mesh: the routed step's gate wall must be lower (it
+    # divides extension compute by n_dict instead of replicating it).
+    routed_ab = {}
+    for mode in ("routed", "broadcast"):
+        os.environ.pop("IMSAME_GATE_BROADCAST", None)
+        if mode == "broadcast":
+            os.environ["IMSAME_GATE_BROADCAST"] = "1"
+        eng = TpuEngine(db, Config(mesh_shape=(1, 8)))
+        eng.compare(q)
+        eng.timer.reset()
+        eng.compare(q)
+        t = dict(eng.timer.items())
+        routed_ab[mode] = round(
+            t.get("gate.dispatch", 0.0) + t.get("gate.fetch", 0.0), 3
+        )
+    os.environ.pop("IMSAME_GATE_BROADCAST", None)
+
     overhead = {
         k: round(v / results["single"], 3) for k, v in results.items()
         if k != "single"
@@ -70,6 +101,8 @@ def main() -> int:
         "reads_per_s_by_mesh": {
             k: round(n_reads / v, 1) for k, v in results.items()
         },
+        "stage_walls_by_mesh": stages,
+        "routed_vs_broadcast_gate_wall_1x8": routed_ab,
         "n_reads": n_reads,
         **_stamp(),
         "note": (

@@ -43,6 +43,7 @@ leaves the owning read and per-read packed rows are sufficient.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Dict, List, Optional, Set, Tuple
 
@@ -153,6 +154,8 @@ class TpuEngine:
         )
         self._mesh = self._make_mesh()
         self._gate_steps: Dict[int, object] = {}
+        self._gate_wide_steps: Dict[int, object] = {}
+        self._gate_routed_steps: Dict[int, object] = {}
         self._nw_stats_steps: Dict[int, object] = {}
         self._nw_render_steps: Dict[int, object] = {}
         self._dp_cache: Dict[int, jax.Array] = {}
@@ -234,13 +237,14 @@ class TpuEngine:
         n_data, n_dict = ms
         if n_data * n_dict <= 1:
             return None
-        if any(c % (n_data * 32) for c in self.cfg.gate_chunks) or any(
+        if any(c % (n_data * n_dict * 32) for c in self.cfg.gate_chunks) or any(
             b % (n_data * n_dict * 8)
             for b in self.cfg.nw_stats_batches + self.cfg.nw_render_batches
         ):
             raise ValueError(
                 "gate_chunks / NW batch shapes must divide evenly over the "
-                "mesh (n_data*32 and n_data*n_dict*8 respectively)"
+                "mesh (n_data*n_dict*32 and n_data*n_dict*8 respectively; "
+                "the dict-routed gate slices chunks over both axes)"
             )
         return make_mesh(n_data=n_data, n_dict=n_dict)
 
@@ -474,11 +478,6 @@ class TpuEngine:
         if N == 0:
             return out
         packed = len(thr) < (1 << 20)
-        if self._mesh is not None and not packed:
-            raise NotImplementedError(
-                "mesh engine requires the packed gate (query < 2^20 reads); "
-                "split the query or set mesh_shape=None"
-            )
         if packed:
             rq = (rids32.astype(np.uint32) << np.uint32(12)) | qoffs.astype(
                 np.uint32
@@ -513,6 +512,16 @@ class TpuEngine:
         packed=True: b = rq uint32 array, c = device threshold table.
         packed=False: b = rids int32, c = qoffs int32 (thresholds gathered
         on host from thr)."""
+        if (
+            packed
+            and self._mesh is not None
+            and self._mesh.shape["dict"] > 1
+            # escape hatch for A/B measurement of routed vs broadcast
+            # (bench_scaling.py) -- the broadcast step replicates
+            # extension compute n_dict-fold
+            and not os.environ.get("IMSAME_GATE_BROADCAST")
+        ):
+            return self._gate_chunks_routed(hits, b, c, d_qp, d_qlen, window)
         N = len(hits)
         sizes = sorted(self.cfg.gate_chunks, reverse=True)
         pending = []
@@ -544,28 +553,40 @@ class TpuEngine:
                     window,
                 )
             else:
-                hpad = np.zeros(size, np.int32)
-                rpad = np.zeros(size, np.int32)
-                qpad = np.zeros(size, np.int32)
-                tpad = np.full(size, np.iinfo(np.int32).max, np.int32)
-                hpad[:take] = hits[sl]
-                rpad[:take] = b[sl]
-                qpad[:take] = c[sl]
-                tpad[:take] = thr[b[sl]]
-                bits = flat_gate(
-                    d_qp,
-                    self._dp_cache[self._row_len],
-                    d_qlen,
-                    self._d_dlen,
-                    self._d_idx_tab,
-                    jnp.asarray(rpad),
-                    jnp.asarray(hpad),
-                    jnp.asarray(qpad),
-                    jnp.asarray(tpad),
-                    jnp.asarray(np.int32(take)),
-                    window=window,
-                    packed_idx=self._packed_idx,
-                )
+                if self._mesh is not None:
+                    cand = np.zeros((5, size), np.int32)
+                    cand[0, :take] = hits[sl]
+                    cand[1, :take] = b[sl]
+                    cand[2, :take] = c[sl]
+                    cand[3, :take] = thr[b[sl]]
+                    cand[4, :take] = 1
+                    bits = self._gate_dispatch_wide(
+                        d_qp, self._dp_cache[self._row_len], d_qlen,
+                        self._d_dlen, self._put_cand(cand), window,
+                    )
+                else:
+                    hpad = np.zeros(size, np.int32)
+                    rpad = np.zeros(size, np.int32)
+                    qpad = np.zeros(size, np.int32)
+                    tpad = np.full(size, np.iinfo(np.int32).max, np.int32)
+                    hpad[:take] = hits[sl]
+                    rpad[:take] = b[sl]
+                    qpad[:take] = c[sl]
+                    tpad[:take] = thr[b[sl]]
+                    bits = flat_gate(
+                        d_qp,
+                        self._dp_cache[self._row_len],
+                        d_qlen,
+                        self._d_dlen,
+                        self._d_idx_tab,
+                        jnp.asarray(rpad),
+                        jnp.asarray(hpad),
+                        jnp.asarray(qpad),
+                        jnp.asarray(tpad),
+                        jnp.asarray(np.int32(take)),
+                        window=window,
+                        packed_idx=self._packed_idx,
+                    )
             pending.append((pos, take, size, bits))
             pos += take
         self.timer.accumulate("gate.dispatch", time.perf_counter() - t_disp0)
@@ -600,6 +621,113 @@ class TpuEngine:
             self._gate_steps[window] = step
         return step(
             d_qp, d_dp, d_qlen, d_dlen, self._d_idx_tab, cand, thr_tab
+        )
+
+    def _gate_dispatch_wide(self, d_qp, d_dp, d_qlen, d_dlen, cand, window):
+        """Mesh dispatch for the wide candidate format (>= 2^20-read
+        queries): [5, N] stack of (hit, rid, qoff, thr, valid)."""
+        step = self._gate_wide_steps.get(window)
+        if step is None:
+            from .parallel.sharded import make_engine_gate_step_wide
+
+            step = make_engine_gate_step_wide(
+                self._mesh, window, self._shard_rows, self._packed_idx
+            )
+            self._gate_wide_steps[window] = step
+        return step(d_qp, d_dp, d_qlen, d_dlen, self._d_idx_tab, cand)
+
+    def _gate_chunks_routed(self, hits, rq, thr_tab, d_qp, d_qlen, window):
+        """Dict-routed gate planner (mesh with n_dict > 1, packed query
+        format): candidates are grouped by owning index shard
+        (hit // shard_rows) and laid out so flat segment s = d*n_dict + k
+        holds only shard k's candidates; the routed step then shards the
+        chunk over the flattened ('data','dict') axes and every device
+        gates exclusively candidates it owns -- extension compute scales
+        with n_dict instead of replicating (parallel/sharded.py
+        make_engine_gate_step_routed).  Bits are un-permuted on fetch.
+
+        Chunk slots per shard are fixed (C // n_dict), so shard skew
+        costs padding, not correctness; k-mer keys spread uniformly over
+        the row ranges for metagenomic reads, keeping skew small."""
+        mesh = self._mesh
+        n_data = mesh.shape["data"]
+        n_dict = mesh.shape["dict"]
+        N = len(hits)
+        d_dp = self._dp_cache[self._row_len]
+        shard = hits // np.int32(self._shard_rows)
+        order = np.argsort(shard, kind="stable")
+        counts = np.bincount(shard, minlength=n_dict).astype(np.int64)
+        shard_off = np.zeros(n_dict + 1, np.int64)
+        np.cumsum(counts, out=shard_off[1:])
+        sizes = sorted(self.cfg.gate_chunks, reverse=True)
+        qpos = np.zeros(n_dict, np.int64)
+        pending = []
+        t_disp0 = time.perf_counter()
+        while True:
+            rem = counts - qpos
+            rem_max = int(rem.max()) if n_dict else 0
+            if rem_max == 0:
+                break
+            C = sizes[0]
+            for z in sizes[1:]:
+                if z // n_dict >= rem_max:
+                    C = z
+            S = C // n_dict  # slots per shard in this chunk
+            seg = C // (n_data * n_dict)  # slots per flat segment
+            cand = np.zeros((2, C), np.int32)
+            perm = np.full(C, -1, np.int64)
+            for k in range(n_dict):
+                take = int(min(S, rem[k]))
+                if take == 0:
+                    continue
+                idxs = order[
+                    shard_off[k] + qpos[k] : shard_off[k] + qpos[k] + take
+                ]
+                j = np.arange(take, dtype=np.int64)
+                posn = (j // seg * n_dict + k) * seg + (j % seg)
+                cand[0, posn] = hits[idxs]
+                cand[1, posn] = rq[idxs].view(np.int32)
+                perm[posn] = idxs
+                qpos[k] += take
+            pad = np.flatnonzero(perm < 0)
+            if len(pad):  # padding rows must stay in the owning shard's
+                # row range (local hit 0 after the on-device rebase)
+                cand[0, pad] = (
+                    (pad // seg) % n_dict
+                ).astype(np.int32) * np.int32(self._shard_rows)
+            step = self._gate_routed_steps.get(window)
+            if step is None:
+                from .parallel.sharded import make_engine_gate_step_routed
+
+                step = make_engine_gate_step_routed(
+                    mesh, window, self._shard_rows, self._packed_idx
+                )
+                self._gate_routed_steps[window] = step
+            bits = step(
+                d_qp, d_dp, d_qlen, self._d_dlen, self._d_idx_tab,
+                self._put_cand_routed(cand), thr_tab,
+            )
+            pending.append((perm, C, bits))
+        self.timer.accumulate("gate.dispatch", time.perf_counter() - t_disp0)
+        passes = np.zeros(N, bool)
+        exact = np.zeros(N, bool)
+        t_f0 = time.perf_counter()
+        fetched = jax.device_get([bits for _, _, bits in pending])
+        self.timer.accumulate("gate.fetch", time.perf_counter() - t_f0)
+        for (perm, C, _), pb in zip(pending, fetched):
+            pb = np.ascontiguousarray(pb, dtype="<u4")
+            flat = np.unpackbits(
+                pb.view(np.uint8).reshape(2, -1), axis=1, bitorder="little"
+            )[:, :C].astype(bool)
+            valid = perm >= 0
+            passes[perm[valid]] = flat[0, valid]
+            exact[perm[valid]] = flat[1, valid]
+        return passes, exact
+
+    def _put_cand_routed(self, x) -> jax.Array:
+        """Shard a [2, C] routed chunk over the flattened axes."""
+        return jax.device_put(
+            x, NamedSharding(self._mesh, _P(None, ("data", "dict")))
         )
 
     def _nw_stats_dispatch(self, d_qp, d_dp, rs, d_qlen, d_dlen, L):
