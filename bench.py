@@ -92,6 +92,37 @@ def check_parity(eng, q, res, qc, dbc) -> str:
     return "byte-identical"
 
 
+def roofline(res, timings) -> dict:
+    """NW-phase GCUPS vs an estimated VPU int32 roofline (VERDICT item 4).
+
+    The wavefront kernel is VPU-bound int32 work: ~50 vector ops per DP
+    cell (scores, two nonlocal gap moves, row/col max maintenance, stat
+    packing -- ops/nw_pallas.py inner step).  TPU v5e VPU peak ~= 8
+    sublanes x 128 lanes x 4 ALUs x 0.94 GHz ~= 3.85e12 int32 ops/s, so
+    speed-of-light is ~77 Gcells/s/chip.  Only meaningful on TPU; on CPU
+    the same fields report against an unknown peak (utilization null)."""
+    import jax
+
+    nw_wall = timings.get("resolve.nw", 0.0)
+    if not nw_wall or not res.nw_cells:
+        return {}
+    gcups_nw = res.nw_cells / nw_wall / 1e9
+    backend = jax.default_backend()
+    out = {
+        "nw_phase_gcups": round(gcups_nw, 3),
+        "roofline": {
+            "backend": backend,
+            "ops_per_cell_est": 50,
+            "vpu_peak_int32_ops_per_s": 3.85e12 if backend == "tpu" else None,
+            "peak_gcups_est": 77.0 if backend == "tpu" else None,
+            "utilization_pct": round(100 * gcups_nw / 77.0, 1)
+            if backend == "tpu"
+            else None,
+        },
+    }
+    return out
+
+
 def main() -> int:
     n_reads = int(os.environ.get("IMSAME_BENCH_READS", "20000"))
     read_len = 250
@@ -126,8 +157,19 @@ def main() -> int:
     runs.sort(key=lambda x: x[0])
     t_align, res, timings = runs[0]
 
+    # Render wall at bench scale (the C baseline's 2.7k reads/s includes
+    # writing -out records during alignment, src/alignmentFunctions.c:167;
+    # our render is a separate phase, so report it separately AND folded
+    # into a comparable end-to-end rate).
+    t_r0 = time.perf_counter()
+    report_bytes = len(eng.render_report(q, res))
+    t_render = time.perf_counter() - t_r0
+
+    # Byte-parity vs the compiled reference at bench scale (SURVEY.md 4.1)
+    # -- on by default (IMSAME_BENCH_PARITY=0 disables); runs after the
+    # timed section so it never perturbs the measurement.
     parity = None
-    if os.environ.get("IMSAME_BENCH_PARITY"):
+    if os.environ.get("IMSAME_BENCH_PARITY", "1") != "0":
         parity = check_parity(eng, q, res, qc, dbc)
 
     # Scaling efficiency (VERDICT item 7): measured separately on the
@@ -172,6 +214,13 @@ def main() -> int:
             "nw_cells": res.nw_cells,
             "gcups": round(gcups, 3),
             "candidates": res.n_candidates,
+            "render_seconds": round(t_render, 3),
+            "renders_per_s": round(res.accepted / max(t_render, 1e-9), 1),
+            "report_bytes": report_bytes,
+            "reads_per_s_incl_render": round(
+                n_reads / (t_align + t_render), 1
+            ),
+            **roofline(res, timings),
             "align_seconds_runs": [round(t, 3) for t, _, _ in runs],
             **({"parity": parity} if parity is not None else {}),
             **({"scaling": scaling} if scaling is not None else {}),

@@ -61,7 +61,7 @@ class Config:
     # path materializes ~0.5 MB/pair of backpointers at the 256-bucket,
     # so 2048 pairs ~= 1 GB HBM.
     nw_stats_batches: tuple = (8192, 4096, 2048, 1024, 512, 256)
-    nw_render_batches: tuple = (2048, 256)
+    nw_render_batches: tuple = (2048, 1024, 512, 256)
     # Length buckets (reads padded up to the smallest bucket >= their len).
     length_buckets: tuple = (128, 256, 512, 1024, 2048, 3072)
     # Use the Pallas NW kernel when on TPU; fall back to pure-jnp otherwise.

@@ -70,6 +70,12 @@ def _load():
         i64, i64, i64, ctypes.c_int64, i64, i64, i64, i32, i32, i64, i64,
         ctypes.c_int32, i32, i32, i32,
     ]
+
+    lib.imsame_render_blocks.restype = ctypes.c_int32
+    lib.imsame_render_blocks.argtypes = [
+        i32, ctypes.c_int64, i32, i32, i32, i8, i64, i8, i64,
+        ctypes.c_int64, i8, i64, i64, i32,
+    ]
     return lib
 
 
@@ -133,6 +139,34 @@ def kmer_stream_arrays(codes, qlo, n_kmers, k: int, bucket_start):
         bucket_start, kp, lo, cnt, Ccum,
     )
     return kp, lo, cnt, Ccum
+
+
+def render_blocks(
+    chains, n_steps, xlen, ylen, xchars, xoff, ychars, yoff, out_off,
+    total_out,
+):
+    """Batched record-block rendering (backtrack + 60-col emission +
+    identity count).  Returns (out_bytes, out_len, identities) or None."""
+    if lib is None:
+        return None
+    P = len(n_steps)
+    out = np.empty(total_out, np.uint8)
+    out_len = np.empty(P, np.int64)
+    identities = np.empty(P, np.int32)
+    rc = lib.imsame_render_blocks(
+        np.ascontiguousarray(chains, np.int32), chains.shape[1],
+        np.ascontiguousarray(n_steps, np.int32),
+        np.ascontiguousarray(xlen, np.int32),
+        np.ascontiguousarray(ylen, np.int32),
+        np.ascontiguousarray(xchars, np.uint8),
+        np.ascontiguousarray(xoff, np.int64),
+        np.ascontiguousarray(ychars, np.uint8),
+        np.ascontiguousarray(yoff, np.int64),
+        P, out, np.ascontiguousarray(out_off, np.int64), out_len, identities,
+    )
+    if rc != 0:
+        return None
+    return out, out_len, identities
 
 
 def build_flat_arrays(

@@ -226,6 +226,135 @@ EXPORT int64_t imsame_index_build(
     return total;
 }
 
+/* ------------------------------------------------------------------ *
+ * Report-block renderer: per accepted pair, reconstruct the two
+ * right-aligned alignment buffers from the device traceback chain and
+ * emit the 60-column triplet blocks (db line, query line, '*' match
+ * line), counting identities during emission -- the reference counts
+ * them at render time too (src/alignmentFunctions.c:230-271; emission
+ * order src/alignmentFunctions.c:493-560).  The Python emission loops
+ * cost ~0.36 ms/pair; at 10k accepted pairs that dominates the whole
+ * render phase, so the inner loops live here.
+ *
+ * Chain encoding (ops/traceback.py): chain[0] = best cell as
+ * px*4096+py; subsequent entries are visited cells, bit 26 flagging a
+ * diagonal-run jump whose chars expand one by one.
+ * ------------------------------------------------------------------ */
+
+#define ALIGN_COLS 60
+
+static int64_t render_one(
+    const int32_t *chain, int32_t n_steps, int32_t xl, int32_t yl,
+    const uint8_t *xc, const uint8_t *yc,
+    uint8_t *rec_x, uint8_t *rec_y, /* scratch, >= 4*max(xl,yl)+2 */
+    uint8_t *out, int32_t *identities_out) {
+    const int32_t PACKB = 4096;
+    const int32_t RUN_FLAG = 1 << 26;
+    int32_t maximum_len = 2 * (xl > yl ? xl : yl);
+    int32_t buf_len = 2 * maximum_len + 2;
+    memset(rec_x, ' ', (size_t)buf_len);
+    memset(rec_y, ' ', (size_t)buf_len);
+    int32_t head_x = maximum_len, head_y = maximum_len;
+    int32_t bc_x = chain[0] / PACKB, bc_y = chain[0] % PACKB;
+    int32_t prev_x = bc_x, prev_y = bc_y;
+    for (int32_t k = xl - 1; k > bc_x; k--) rec_x[head_x--] = '-';
+    for (int32_t k = yl - 1; k > bc_y; k--) rec_y[head_y--] = '-';
+    int32_t curr_x = bc_x, curr_y = bc_y;
+    for (int32_t st = 1; st <= n_steps; st++) {
+        int32_t e = chain[st];
+        int is_run = (e & RUN_FLAG) != 0;
+        e &= RUN_FLAG - 1;
+        curr_x = e / PACKB;
+        curr_y = e % PACKB;
+        if (is_run) {
+            for (int32_t k = 0; k < prev_x - curr_x; k++) {
+                rec_x[head_x--] = xc[prev_x - k];
+                rec_y[head_y--] = yc[prev_y - k];
+            }
+        } else if (curr_x == prev_x - 1 && curr_y == prev_y - 1) {
+            rec_x[head_x--] = xc[prev_x];
+            rec_y[head_y--] = yc[prev_y];
+        } else if ((prev_x - curr_x) > (prev_y - curr_y)) {
+            for (int32_t k = prev_x; k > curr_x; k--) {
+                rec_y[head_y--] = '-';
+                rec_x[head_x--] = xc[k];
+            }
+        } else {
+            for (int32_t k = prev_y; k > curr_y; k--) {
+                rec_x[head_x--] = '-';
+                rec_y[head_y--] = yc[k];
+            }
+        }
+        prev_x = curr_x;
+        prev_y = curr_y;
+    }
+    int32_t hx = 0, hy = 0; /* leading gap runs; shorter side space-padded */
+    for (int32_t k = curr_x - 1; k >= 0; k--) { rec_x[head_x--] = '-'; hx++; }
+    for (int32_t k = curr_y - 1; k >= 0; k--) { rec_y[head_y--] = '-'; hy++; }
+    if (hx >= hy)
+        while (hx-- > 0) rec_y[head_y--] = ' ';
+    else
+        while (hy-- > 0) rec_x[head_x--] = ' ';
+
+    int32_t identities = 0;
+    int64_t o = 0;
+    int32_t i = head_x + 1, j = head_y + 1;
+    while (i <= maximum_len && j <= maximum_len) {
+        int32_t off = 0, before_i = i, before_j = j;
+        while (off < ALIGN_COLS && i <= maximum_len) {
+            out[o++] = rec_x[i++];
+            off++;
+        }
+        out[o++] = '\n';
+        off = 0;
+        while (off < ALIGN_COLS && j <= maximum_len) {
+            out[o++] = rec_y[j++];
+            off++;
+        }
+        out[o++] = '\n';
+        while (before_i < i) {
+            uint8_t cx = rec_x[before_i], cy = rec_y[before_j];
+            if (cx != '-' && cy != '-' && cx == cy) {
+                out[o++] = '*';
+                identities++;
+            } else
+                out[o++] = ' ';
+            before_j++;
+            before_i++;
+        }
+        out[o++] = '\n';
+    }
+    out[o++] = '\n';
+    *identities_out = identities;
+    return o;
+}
+
+EXPORT int32_t imsame_render_blocks(
+    const int32_t *chains, int64_t chain_stride, const int32_t *n_steps,
+    const int32_t *xlen, const int32_t *ylen,
+    const uint8_t *xchars, const int64_t *xoff,
+    const uint8_t *ychars, const int64_t *yoff,
+    int64_t P,
+    uint8_t *out, const int64_t *out_off, int64_t *out_len,
+    int32_t *identities) {
+    int32_t maxl = 0;
+    for (int64_t p = 0; p < P; p++) {
+        if (xlen[p] > maxl) maxl = xlen[p];
+        if (ylen[p] > maxl) maxl = ylen[p];
+    }
+    uint8_t *rec_x = (uint8_t *)malloc((size_t)(4 * maxl + 2) * 2);
+    if (!rec_x) return -1;
+    uint8_t *rec_y = rec_x + (4 * maxl + 2);
+    for (int64_t p = 0; p < P; p++) {
+        out_len[p] = render_one(
+            chains + p * chain_stride, n_steps[p], xlen[p], ylen[p],
+            xchars + xoff[p], ychars + yoff[p],
+            rec_x, rec_y, out + out_off[p], &identities[p]);
+    }
+    free(rec_x);
+    return 0;
+}
+
 /* Query candidate-stream tables: fused rolling key + bucket lookup + prefix
  * sum (the numpy path needs five multi-megabyte temporaries and two random
  * gathers into the 67 MB prefix table).

@@ -1100,11 +1100,25 @@ class TpuEngine:
 
     def render_report(self, q: SeqInfo, result: PipelineResult) -> bytes:
         """Byte-identical -out file content (records in read order, matching
-        the reference at n_threads=1)."""
+        the reference at n_threads=1).  The block emission runs in the
+        native host library when available (batched backtrack + 60-col
+        render, native/host.c imsame_render_blocks); the Python path below
+        is the bit-identical fallback."""
         self._materialize_chains(result.records)
         db = self.db
+        recs = result.records
+        if recs and native.lib is not None:
+            blocks = self._render_blocks_native(q, recs)
+            if blocks is not None:
+                out = bytearray()
+                for a, block in zip(recs, blocks):
+                    out += format_record(
+                        a.qread, a.dbread, a.identities, a.length, a.ylen,
+                        block,
+                    )
+                return bytes(out)
         out = bytearray()
-        for a in result.records:
+        for a in recs:
             xs = int(db.start[a.dbread])
             xe = db.read_end(a.dbread)
             ys = int(q.start[a.qread])
@@ -1122,3 +1136,43 @@ class TpuEngine:
                 )
             )
         return bytes(out)
+
+    def _render_blocks_native(self, q: SeqInfo, recs) -> Optional[list]:
+        """Batched native block render; returns per-record block bytes.
+        Cross-checks the emission-time identity count against the NW
+        stats, like the Python path's assert."""
+        db = self.db
+        P = len(recs)
+        xlen = np.array(
+            [db.read_end(a.dbread) - int(db.start[a.dbread]) for a in recs],
+            np.int32,
+        )
+        ylen = np.array(
+            [q.read_end(a.qread) - int(q.start[a.qread]) for a in recs],
+            np.int32,
+        )
+        xoff = np.array([db.start[a.dbread] for a in recs], np.int64)
+        yoff = np.array([q.start[a.qread] for a in recs], np.int64)
+        width = max(len(a.chain) for a in recs)
+        chains = np.zeros((P, width), np.int32)
+        for p, a in enumerate(recs):
+            chains[p, : len(a.chain)] = a.chain
+        n_steps = np.array([a.n_steps for a in recs], np.int32)
+        span = 2 * np.maximum(xlen, ylen).astype(np.int64)
+        caps = 3 * span + 3 * (span // 60 + 2) + 8
+        out_off = np.zeros(P + 1, np.int64)
+        np.cumsum(caps, out=out_off[1:])
+        res = native.render_blocks(
+            chains, n_steps, xlen, ylen,
+            CODE_TO_CHAR[db.codes], xoff, CODE_TO_CHAR[q.codes], yoff,
+            out_off[:-1], int(out_off[-1]),
+        )
+        if res is None:
+            return None
+        out, out_len, identities = res
+        for p, a in enumerate(recs):
+            assert int(identities[p]) == a.identities
+        return [
+            out[out_off[p] : out_off[p] + out_len[p]].tobytes()
+            for p in range(P)
+        ]
