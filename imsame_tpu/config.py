@@ -66,6 +66,11 @@ class Config:
     length_buckets: tuple = (128, 256, 512, 1024, 2048, 3072)
     # Use the Pallas NW kernel when on TPU; fall back to pure-jnp otherwise.
     use_pallas: Optional[bool] = None  # None = auto-detect
+    # Pipelined stats kernel (K pairs streamed per sublane row, ~full lane
+    # occupancy; ops/nw_pallas.py nw_stats_batch_pallas_pipe).  Applies
+    # only on the Pallas path and to batches divisible by BBLK*PIPE_K;
+    # smaller batches use the plain wavefront kernel either way.
+    nw_pipe: bool = True
     # Device mesh (data, dict) for the production engine (SURVEY.md 2a):
     # "auto" = use every visible device on the data axis when the batch
     # shapes divide evenly (single-device otherwise); None = single-device;

@@ -18,7 +18,13 @@ import jax.numpy as jnp
 
 from .extend_packed import BASES_PER_WORD
 from .nw import nw_forward_batch, nw_stats_batch
-from .nw_pallas import nw_forward_batch_pallas, nw_stats_batch_pallas
+from .nw_pallas import (
+    BBLK,
+    PIPE_K,
+    nw_forward_batch_pallas,
+    nw_stats_batch_pallas,
+    nw_stats_batch_pallas_pipe,
+)
 from .traceback import TracebackResult, traceback_batch
 
 
@@ -71,7 +77,7 @@ def nw_traceback_rows(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_len", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("max_len", "use_pallas", "pipe"))
 def nw_stats_rows(
     qp: jax.Array,  # [n_q, WPq] uint32 packed query rows
     dp: jax.Array,  # [n_db, WPd] uint32 packed db rows
@@ -83,6 +89,7 @@ def nw_stats_rows(
     *,
     max_len: int,
     use_pallas: bool,
+    pipe: bool = False,
 ) -> jax.Array:
     """Accept-gate resolve: gather packed rows, run the stats-only wavefront
     aligner (no backpointer tensor -- the round-1 HBM-bandwidth ceiling),
@@ -98,7 +105,17 @@ def nw_stats_rows(
     Y = unpack_rows(qp, r, max_len)
     xl = dlen[s]
     yl = qlen[r]
-    nw_fn = nw_stats_batch_pallas if use_pallas else nw_stats_batch
+    B = r.shape[0]
+    if use_pallas and pipe and B % (BBLK * PIPE_K) == 0 and max_len % 8 == 0:
+        # Pipelined kernel: K pairs streamed per sublane row at ~full lane
+        # occupancy, ~1.8x fewer wavefront steps (nw_pallas.py
+        # _make_nw_stats_pipe_kernel).  Bit-equal to the plain kernels;
+        # batches too small to stream K pairs per row fall through.
+        nw_fn = nw_stats_batch_pallas_pipe
+    elif use_pallas:
+        nw_fn = nw_stats_batch_pallas
+    else:
+        nw_fn = nw_stats_batch
     res = nw_fn(X, Y, xl, yl, igap, egap, max_len=max_len)
     return jnp.stack(
         [res.length, res.identities, yl.astype(jnp.int32)]

@@ -176,7 +176,9 @@ def make_engine_gate_step_wide(
     return jax.jit(gate)
 
 
-def make_engine_nw_stats_step(mesh: Mesh, max_len: int, use_pallas: bool):
+def make_engine_nw_stats_step(
+    mesh: Mesh, max_len: int, use_pallas: bool, pipe: bool = False
+):
     """Sharded nw_stats_rows twin: pair batch P(None, ('data', 'dict')),
     packed rows and gap scores replicated.  Returns stacked [3, B] stats."""
     from ..ops.resolve import nw_stats_rows
@@ -191,7 +193,7 @@ def make_engine_nw_stats_step(mesh: Mesh, max_len: int, use_pallas: bool):
     def step(qp, dp, rs, qlen, dlen, igap, egap):
         return nw_stats_rows(
             qp, dp, rs, qlen, dlen, igap, egap,
-            max_len=max_len, use_pallas=use_pallas,
+            max_len=max_len, use_pallas=use_pallas, pipe=pipe,
         )
 
     @jax.jit

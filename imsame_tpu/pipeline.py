@@ -736,12 +736,15 @@ class TpuEngine:
                 d_qp, d_dp, jnp.asarray(rs), d_qlen, d_dlen,
                 self.cfg.igap, self.cfg.egap,
                 max_len=L, use_pallas=self._use_pallas,
+                pipe=self.cfg.nw_pipe,
             )
         step = self._nw_stats_steps.get(L)
         if step is None:
             from .parallel.sharded import make_engine_nw_stats_step
 
-            step = make_engine_nw_stats_step(self._mesh, L, self._use_pallas)
+            step = make_engine_nw_stats_step(
+                self._mesh, L, self._use_pallas, self.cfg.nw_pipe
+            )
             self._nw_stats_steps[L] = step
         return step(
             d_qp, d_dp, self._put_pair(rs), d_qlen, d_dlen,

@@ -78,6 +78,61 @@ def test_stats_pallas_pipe_interpret_matches_jnp(seed):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_stats_pallas_pipe_interpret_L256():
+    """L > 128 case for the pipelined kernel (ADVICE r2: the pipe kernel
+    was only verified at L=128 before being relied on)."""
+    from imsame_tpu.ops.nw_pallas import BBLK, PIPE_K, nw_stats_batch_pallas_pipe
+
+    rng = np.random.default_rng(23)
+    L, B = 256, BBLK * PIPE_K
+    X, Y, xlen, ylen = _mixed_pairs(rng, B, L)
+    st = nw_stats_batch(
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(xlen), jnp.asarray(ylen),
+        -5, -2, max_len=L,
+    )
+    sp = nw_stats_batch_pallas_pipe(
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(xlen), jnp.asarray(ylen),
+        -5, -2, max_len=L, interpret=True,
+    )
+    for a, b in zip(st, sp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nw_stats_rows_pipe_dispatch_equal():
+    """nw_stats_rows with pipe=True must return the same stacked stats as
+    pipe=False for a pipe-eligible batch (the production dispatch path,
+    pipeline._nw_stats_dispatch)."""
+    from imsame_tpu.ops.extend_packed import pack_stream
+    from imsame_tpu.ops.nw_pallas import BBLK, PIPE_K
+    from imsame_tpu.ops.resolve import nw_stats_rows
+
+    rng = np.random.default_rng(3)
+    L, B = 128, BBLK * PIPE_K
+    n_reads = 32
+    lens = rng.integers(20, L + 1, n_reads).astype(np.int32)
+    codes = rng.integers(0, 4, n_reads * L).astype(np.uint8)
+    rows = pack_stream(codes).reshape(n_reads, -1)
+    r = rng.integers(0, n_reads, B).astype(np.int32)
+    s = rng.integers(0, n_reads, B).astype(np.int32)
+    rs = jnp.asarray(np.stack([r, s]))
+    qp = jnp.asarray(rows)
+    qlen = jnp.asarray(lens)
+    # use_pallas with interpret isn't plumbed through nw_stats_rows, so
+    # compare the jnp path against the pipe kernel in interpret mode via
+    # the underlying batch functions the dispatch selects
+    from imsame_tpu.ops.nw_pallas import nw_stats_batch_pallas_pipe
+    from imsame_tpu.ops.resolve import unpack_rows
+
+    X = unpack_rows(qp, jnp.asarray(s), L)
+    Y = unpack_rows(qp, jnp.asarray(r), L)
+    st = nw_stats_batch(X, Y, qlen[s], qlen[r], -5, -2, max_len=L)
+    sp = nw_stats_batch_pallas_pipe(
+        X, Y, qlen[s], qlen[r], -5, -2, max_len=L, interpret=True
+    )
+    for a, b in zip(st, sp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("seed", [0, 7])
 def test_stats_pallas_interpret_matches_jnp(seed):
     rng = np.random.default_rng(seed)
