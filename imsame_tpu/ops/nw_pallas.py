@@ -547,10 +547,19 @@ def _make_nw_stats_pipe_kernel(max_len: int):
     the unpipelined kernel, and a lane's first two steps under a new
     owner only compute border/j<=1 cells whose gap reads are masked --
     so no value ever crosses between pairs (bit-equality proven against
-    nw_stats_batch in tests/test_nw_stats.py)."""
-    L = max_len
+    nw_stats_batch in tests/test_nw_stats.py).
 
-    def kernel(igap_ref, egap_ref, e_ref, py_ref, op_ref,
+    Mosaic lowering notes (this shape survived the real-TPU toolchain;
+    the first draft did not): per-step feeds are (n_grid, R, UNROLL)
+    VMEM blocks of (1, BBLK, UNROLL) -- the last block dim equals the
+    overall array dim, the only legal sub-(8,128) tiling -- and the
+    per-step scalars e/py/op are derived in-kernel from program_id
+    (exact because UNROLL divides L, so a grid step never straddles a
+    phase boundary), not streamed through sub-tile SMEM windows."""
+    L = max_len
+    PHASE = L // UNROLL  # grid steps per pipeline phase
+
+    def kernel(igap_ref, egap_ref,
                fx_ref, fy_ref, fy0_ref, fxl_y_ref, fyl_y_ref,
                fxl_o_ref, fyl_o_ref,
                bs_ref, bi_ref, bj_ref, bw_ref,
@@ -560,7 +569,11 @@ def _make_nw_stats_pipe_kernel(max_len: int):
                yd_ref, xc_ref,
                a0s_ref, a0i_ref, a0j_ref, a0w_ref,
                a1s_ref, a1i_ref, a1j_ref, a1w_ref):
-        dbase = pl.program_id(1) * jnp.int32(UNROLL)
+        g = pl.program_id(1)
+        dbase = g * jnp.int32(UNROLL)
+        q = g // jnp.int32(PHASE)  # phase index = d // L, same for all u
+        ebase = (g - q * jnp.int32(PHASE)) * jnp.int32(UNROLL)
+        qpar = q & jnp.int32(1)
         igap = igap_ref[0, 0]
         egap = egap_ref[0, 0]
         lane = jax.lax.broadcasted_iota(jnp.int32, (BBLK, L), 1)
@@ -591,17 +604,17 @@ def _make_nw_stats_pipe_kernel(max_len: int):
                 ref[:] = jnp.zeros((BBLK, 1), jnp.int32)
 
         for u in range(UNROLL):
-            e = e_ref[0, u]  # entering lane = young pair's local diagonal
-            py = py_ref[0, u]  # young pair's parity
-            x_new = fx_ref[:, u : u + 1]  # (BBLK, 1) young X[e]
-            y_new = fy_ref[:, u : u + 1]  # young Y[e]
-            y0 = fy0_ref[:, u : u + 1]  # young Y[0]
+            e = ebase + jnp.int32(u)  # entering lane = young local diagonal
+            py = qpar  # young pair's parity (constant within a grid step)
+            x_new = fx_ref[0, :, u : u + 1]  # (BBLK, 1) young X[e]
+            y_new = fy_ref[0, :, u : u + 1]  # young Y[e]
+            y0 = fy0_ref[0, :, u : u + 1]  # young Y[0]
             young = lane <= e
             j_idx = jnp.where(young, e - lane, e + jnp.int32(L) - lane)
-            xlen = jnp.where(young, fxl_y_ref[:, u : u + 1],
-                             fxl_o_ref[:, u : u + 1])
-            ylen = jnp.where(young, fyl_y_ref[:, u : u + 1],
-                             fyl_o_ref[:, u : u + 1])
+            xlen = jnp.where(young, fxl_y_ref[0, :, u : u + 1],
+                             fxl_o_ref[0, :, u : u + 1])
+            ylen = jnp.where(young, fyl_y_ref[0, :, u : u + 1],
+                             fyl_o_ref[0, :, u : u + 1])
 
             # entering lane takes the young pair's next db char; yd
             # advances one lane with the young pair's next query char.
@@ -685,7 +698,7 @@ def _make_nw_stats_pipe_kernel(max_len: int):
             mc_w = jnp.where(mc_upd, w_im2_jm1, mc_w)
 
             # mf re-init from the young pair's column-0 cell (e, 0)
-            col0_ok = fxl_y_ref[:, u : u + 1] > e  # (BBLK, 1)
+            col0_ok = fxl_y_ref[0, :, u : u + 1] > e  # (BBLK, 1)
             col0_score = jnp.where(x_new == y0, P4, M4)
             upd_col = (lane == e) & col0_ok
             mf_s = jnp.where(upd_col, col0_score, mf_s)
@@ -698,7 +711,7 @@ def _make_nw_stats_pipe_kernel(max_len: int):
             mfw_ref[:] = mf_w
 
             # advance mc: shift down, push the young pair's column e
-            row0_ok = fyl_y_ref[:, u : u + 1] > e
+            row0_ok = fyl_y_ref[0, :, u : u + 1] > e
             new_col_s = jnp.where(row0_ok, s0[:, 0:1], NEG32)
             mcs_ref[:] = shift1(mc_s, new_col_s)
             mcx_ref[:] = shift1(mc_x, Z32)
@@ -760,15 +773,20 @@ def _make_nw_stats_pipe_kernel(max_len: int):
             w2_ref[:] = w1_ref[:]
             w1_ref[:] = w0
 
-        # flush the completing pair's accumulator (out block index map
-        # points this grid step at that pair's slot; the last grid step
-        # writing a slot holds its final diagonals, so its write wins).
-        op = op_ref[0, 0]  # parity of the pair this step's out slot holds
-        use0 = op == 0
-        bs_ref[:] = jnp.where(use0, a0s_ref[:], a1s_ref[:])
-        bi_ref[:] = jnp.where(use0, a0i_ref[:], a1i_ref[:])
-        bj_ref[:] = jnp.where(use0, a0j_ref[:], a1j_ref[:])
-        bw_ref[:] = jnp.where(use0, a0w_ref[:], a1w_ref[:])
+        # flush the completing pair's accumulator into its slot of the
+        # revisited (BBLK, K) output block (same block every grid step:
+        # masked read-modify-write; the last grid step whose "old" pair
+        # is k holds k's final diagonals, so its write wins).
+        op_slot = jnp.maximum(q - jnp.int32(1), jnp.int32(0))
+        use0 = (op_slot & jnp.int32(1)) == 0
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (BBLK, PIPE_K), 1)
+        mask = kiota == op_slot
+        for out_ref, a0, a1 in ((bs_ref, a0s_ref, a1s_ref),
+                                (bi_ref, a0i_ref, a1i_ref),
+                                (bj_ref, a0j_ref, a1j_ref),
+                                (bw_ref, a0w_ref, a1w_ref)):
+            val = jnp.where(use0, a0[:], a1[:])  # (BBLK, 1)
+            out_ref[:] = jnp.where(mask, val, out_ref[:])
 
     return kernel
 
@@ -808,26 +826,22 @@ def nw_stats_batch_pallas_pipe(
     yl = ylen.astype(jnp.int32)
 
     # Per-row feed streams: entry d of row r belongs to pair r*K + d//L.
+    # Laid out (n_grid, R, UNROLL) so each grid step's feed is one legal
+    # (1, BBLK, UNROLL) VMEM block (last dim equals the overall dim; a
+    # (BBLK, UNROLL) window of a (R, NS) array is an illegal sub-(8,128)
+    # tile on real Mosaic).
     padL = jnp.zeros((R, L), jnp.int32)
-    fx = jnp.concatenate([Xi.reshape(R, K * L), padL], axis=1)
-    fy = jnp.concatenate([Yi.reshape(R, K * L), padL], axis=1)
+    g3 = lambda a: a.reshape(R, n_grid, UNROLL).transpose(1, 0, 2)
+    fx = g3(jnp.concatenate([Xi.reshape(R, K * L), padL], axis=1))
+    fy = g3(jnp.concatenate([Yi.reshape(R, K * L), padL], axis=1))
     rep = lambda v: jnp.repeat(v.reshape(R, K), L, axis=1)
-    fy0 = jnp.concatenate([rep(Yi[:, 0]), padL], axis=1)
-    fxl_y = jnp.concatenate([rep(xl), padL], axis=1)
-    fyl_y = jnp.concatenate([rep(yl), padL], axis=1)
+    fy0 = g3(jnp.concatenate([rep(Yi[:, 0]), padL], axis=1))
+    fxl_y = g3(jnp.concatenate([rep(xl), padL], axis=1))
+    fyl_y = g3(jnp.concatenate([rep(yl), padL], axis=1))
     # old-pair lens: shifted one phase right; first L steps have no old
     # pair (len 0 = all lanes invalid).
-    fxl_o = jnp.concatenate([padL, rep(xl)], axis=1)
-    fyl_o = jnp.concatenate([padL, rep(yl)], axis=1)
-
-    steps = jnp.arange(NS, dtype=jnp.int32)
-    e_step = (steps % L).reshape(1, NS)
-    py_step = ((steps // L) & 1).reshape(1, NS)
-    # out slot of grid step g is pair max(g*U//L - 1, 0); its parity:
-    gsteps = jnp.arange(n_grid, dtype=jnp.int32)
-    op_step = (jnp.maximum(gsteps * UNROLL // L - 1, 0) & 1).reshape(
-        1, n_grid
-    )
+    fxl_o = g3(jnp.concatenate([padL, rep(xl)], axis=1))
+    fyl_o = g3(jnp.concatenate([padL, rep(yl)], axis=1))
 
     kernel = _make_nw_stats_pipe_kernel(L)
     scr = [pltpu.VMEM((BBLK, L), jnp.int32)] * 15 + [
@@ -837,22 +851,16 @@ def nw_stats_batch_pallas_pipe(
         jax.ShapeDtypeStruct((R, K), jnp.int32) for _ in range(4)
     )
     smem11 = pl.BlockSpec((1, 1), lambda b, g: (0, 0), memory_space=pltpu.SMEM)
-    smemU = pl.BlockSpec((1, UNROLL), lambda b, g: (0, g),
-                         memory_space=pltpu.SMEM)
-    smem1g = pl.BlockSpec((1, 1), lambda b, g: (0, g),
-                          memory_space=pltpu.SMEM)
     feedU = lambda: pl.BlockSpec(
-        (BBLK, UNROLL), lambda b, g: (b, g), memory_space=pltpu.VMEM
+        (1, BBLK, UNROLL), lambda b, g: (g, b, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (BBLK, 1),
-        lambda b, g: (b, jnp.maximum(g * UNROLL // L - 1, 0)),
-        memory_space=pltpu.VMEM,
+        (BBLK, K), lambda b, g: (b, 0), memory_space=pltpu.VMEM
     )
     bs, bi, bj, bw = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem11, smem11, smemU, smemU, smem1g,
+        in_specs=[smem11, smem11,
                   feedU(), feedU(), feedU(), feedU(), feedU(),
                   feedU(), feedU()],
         out_specs=tuple(out_spec for _ in range(4)),
@@ -865,9 +873,6 @@ def nw_stats_batch_pallas_pipe(
     )(
         jnp.asarray(igap, jnp.int32).reshape(1, 1),
         jnp.asarray(egap, jnp.int32).reshape(1, 1),
-        e_step,
-        py_step,
-        op_step,
         fx, fy, fy0, fxl_y, fyl_y, fxl_o, fyl_o,
     )
     return NWStatsResult(
