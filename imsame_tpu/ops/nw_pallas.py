@@ -794,6 +794,351 @@ def _make_nw_stats_pipe_kernel(max_len: int):
 # Pairs streamed per sublane row in the pipelined stats kernel.
 PIPE_K = 8
 
+# v2 pipelined stats kernel: wider sublane block and longer pair stream
+# (ramp/drain overhead K/(K+1) -> 16/17), plus the cheaper best-cell
+# machinery below.
+RBLK2 = 16
+PIPE2_K = 16
+
+
+def _make_nw_stats_pipe2_kernel(max_len: int):
+    """v2 of the pipelined stats kernel (same DP recurrence and quirks as
+    _make_nw_stats_pipe_kernel, bit-equal outputs) with three structural
+    cost cuts, aimed at the VPU-ALU bound:
+
+    1. Associative best-cell fold.  The reference's sequential
+       cross-diagonal take rule (ds > bs) | (ds == bs & di >= bi)
+       (src/alignmentFunctions.c:481-484 order) is equivalent to the
+       lexicographic maximum of (score, i, d) over all eligible cells:
+       equal-score candidates arrive per diagonal with their max i, and
+       the fold's running bi only ever moves to the globally largest i
+       (the max element always satisfies i >= bi when it arrives), after
+       which only later diagonals at that same i can take.  So instead of
+       a masked reduction per step per half (4 reductions + ~40 scalar
+       ops), each *lane* (= row i) keeps a packed running max
+       A = max(score << 13 | d_local) -- one vector max per parity --
+       and once per PHASE a short epilogue reduces across lanes:
+       smax -> max lane achieving it -> that lane's packed d.  Lanes are
+       routed to one of two accumulators by pair *parity* (young/old
+       pairs alternate parity), so a pair's accumulator is complete and
+       exclusive exactly when it finishes its old phase.
+    2. Four rotating score/stat diagonal buffers addressed statically by
+       step index mod 4 (UNROLL % 4 == 0 keeps the mapping grid-step
+       invariant), eliminating the two full-array copies per step each
+       that the 3-buffer rotation needed.
+    3. mf_x/mf_y packed into one word (x*4096 + y, both < 4096 =
+       MAX_READ_SIZE bound): one carried array and one update select
+       fewer; the gap distances unpack with a shift/mask pair.
+
+    Stream layout, handover rules, and ownership-transfer safety are
+    identical to _make_nw_stats_pipe_kernel (see its docstring)."""
+    L = max_len
+    PHASE = L // UNROLL
+    K = PIPE2_K
+    assert UNROLL % 4 == 0
+
+    def kernel(igap_ref, egap_ref,
+               fx_ref, fy_ref, fy0_ref, fxl_y_ref, fyl_y_ref,
+               fxl_o_ref, fyl_o_ref,
+               bs_ref, bi_ref, bj_ref, bw_ref,
+               sb0, sb1, sb2, sb3, wb0, wb1, wb2, wb3,
+               mfs_ref, mfxy_ref, mfw_ref, mcs_ref, mcx_ref, mcw_ref,
+               yd_ref, xc_ref, a0_ref, a1_ref, v0_ref, v1_ref):
+        g = pl.program_id(1)
+        dbase = g * jnp.int32(UNROLL)
+        q = g // jnp.int32(PHASE)  # phase index = d // L
+        ebase = (g - q * jnp.int32(PHASE)) * jnp.int32(UNROLL)
+        qpar = q & jnp.int32(1)
+        igap = igap_ref[0, 0]
+        egap = egap_ref[0, 0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RBLK2, L), 1)
+        lane4096 = lane * jnp.int32(4096)
+        NEG32 = jnp.int32(NEG)
+        P4 = jnp.int32(POINT)
+        M4 = jnp.int32(-POINT)
+        Z32 = jnp.int32(0)
+        ONE = jnp.int32(1)
+        SENT = jnp.int32(-(2**31) + 1)
+        sbufs = (sb0, sb1, sb2, sb3)
+        wbufs = (wb0, wb1, wb2, wb3)
+
+        def shift1(a, fill):
+            rolled = pltpu.roll(a, jnp.int32(1), axis=1)
+            return jnp.where(lane == 0, fill, rolled)
+
+        @pl.when(dbase == 0)
+        def _init():
+            neg = jnp.full((RBLK2, L), NEG, jnp.int32)
+            zero = jnp.zeros((RBLK2, L), jnp.int32)
+            sent = jnp.full((RBLK2, L), SENT, jnp.int32)
+            for ref in (sb0, sb1, sb2, sb3, mfs_ref, mcs_ref):
+                ref[:] = neg
+            for ref in (wb0, wb1, wb2, wb3, mfxy_ref, mfw_ref,
+                        mcx_ref, mcw_ref, yd_ref, xc_ref, v0_ref, v1_ref):
+                ref[:] = zero
+            a0_ref[:] = sent
+            a1_ref[:] = sent
+
+        for u in range(UNROLL):
+            e = ebase + jnp.int32(u)
+            s2 = sbufs[(u + 2) % 4][:]  # diagonal d-2
+            s3 = sbufs[(u + 1) % 4][:]  # diagonal d-3
+            w2 = wbufs[(u + 2) % 4][:]
+            w3 = wbufs[(u + 1) % 4][:]
+            x_new = fx_ref[0, :, u : u + 1]  # (RBLK2, 1) young X[e]
+            y_new = fy_ref[0, :, u : u + 1]
+            y0 = fy0_ref[0, :, u : u + 1]
+            young = lane <= e
+            j_idx = (e - lane) + jnp.where(young, Z32, jnp.int32(L))
+            xlen = jnp.where(young, fxl_y_ref[0, :, u : u + 1],
+                             fxl_o_ref[0, :, u : u + 1])
+            ylen = jnp.where(young, fyl_y_ref[0, :, u : u + 1],
+                             fyl_o_ref[0, :, u : u + 1])
+            eq_e = lane == e
+
+            xc = jnp.where(eq_e, x_new, xc_ref[:])
+            xc_ref[:] = xc
+            yd = shift1(yd_ref[:], y_new)
+            yd_ref[:] = yd
+
+            valid = (lane < xlen) & (j_idx < ylen)
+            inner = valid & (lane >= 1) & (j_idx >= 1)
+            is_match = xc == yd
+            s_pm = jnp.where(is_match, P4, M4)
+            diag_add = jnp.where(is_match, jnp.int32((1 << 16) + 1), ONE)
+
+            t_im1_jm1 = shift1(s2, NEG32)
+            t_i_jm2 = s2
+            sh_s3 = shift1(s3, NEG32)
+            t_im1_jm2 = sh_s3
+            t_im2_jm1 = shift1(sh_s3, NEG32)
+            w_im1_jm1 = shift1(w2, Z32)
+            w_im1_jm2 = shift1(w3, Z32)
+            w_im2_jm1 = shift1(w_im1_jm2, Z32)
+
+            # mf update (before the cell), j > 1
+            mf_s = mfs_ref[:]
+            mf_xy = mfxy_ref[:]
+            mf_w = mfw_ref[:]
+            lanej = lane4096 + j_idx
+            mf_upd = valid & (lane >= 1) & (j_idx >= 2) & (mf_s <= t_i_jm2)
+            mf_s = jnp.where(mf_upd, t_im1_jm2, mf_s)
+            mf_xy = jnp.where(mf_upd, lanej - jnp.int32(4098), mf_xy)
+            mf_w = jnp.where(mf_upd, w_im1_jm2, mf_w)
+
+            # cell scores (gap distances unpacked from mf_xy)
+            mc_s = mcs_ref[:]
+            mc_x = mcx_ref[:]
+            mc_w = mcw_ref[:]
+            score_diag = t_im1_jm1 + s_pm
+            dxy = lanej - mf_xy
+            dyl = dxy & jnp.int32(4095)
+            dxl = dxy >> jnp.int32(12)
+            score_left = jnp.where(
+                j_idx >= 2,
+                mf_s + (igap - egap) + dyl * egap + s_pm, NEG32,
+            )
+            score_right = jnp.where(
+                lane >= 2,
+                mc_s + igap + (lane - (mc_x + 1)) * egap + s_pm, NEG32,
+            )
+            pick_diag = (score_diag >= score_left) & (
+                score_diag >= score_right
+            )
+            pick_right = (~pick_diag) & (score_right > score_left)
+            cell = jnp.where(
+                pick_diag, score_diag,
+                jnp.where(pick_right, score_right, score_left),
+            )
+
+            # packed path stats of this cell
+            add_left = jnp.where(dxl > dyl, dxl, dyl)
+            dxr = lane - mc_x
+            add_right = jnp.where(dxr > 1, dxr, ONE)
+            w_new = jnp.where(
+                pick_diag,
+                w_im1_jm1 + diag_add,
+                jnp.where(pick_right, mc_w + add_right, mf_w + add_left),
+            )
+
+            border = valid & ((lane == 0) | (j_idx == 0))
+            cell = jnp.where(border, s_pm, cell)
+            s0 = jnp.where(valid, cell, NEG32)
+            w0 = jnp.where(inner, w_new, Z32)
+
+            # mc update (after the cell), strict >, from two rows up
+            mc_upd = inner & (lane >= 2) & (j_idx >= 2) & (t_im2_jm1 > mc_s)
+            mc_s = jnp.where(mc_upd, t_im2_jm1, mc_s)
+            mc_x = jnp.where(mc_upd, lane - jnp.int32(2), mc_x)
+            mc_w = jnp.where(mc_upd, w_im2_jm1, mc_w)
+
+            # mf re-init from the young pair's column-0 cell (e, 0)
+            col0_ok = fxl_y_ref[0, :, u : u + 1] > e  # (RBLK2, 1)
+            col0_score = jnp.where(x_new == y0, P4, M4)
+            upd_col = eq_e & col0_ok
+            mf_s = jnp.where(upd_col, col0_score, mf_s)
+            mf_xy = jnp.where(upd_col, lane4096, mf_xy)  # (x=e=lane, y=0)
+            mf_w = jnp.where(upd_col, Z32, mf_w)
+            mfs_ref[:] = mf_s
+            mfxy_ref[:] = mf_xy
+            mfw_ref[:] = mf_w
+
+            # advance mc: shift down, push the young pair's column e
+            row0_ok = fyl_y_ref[0, :, u : u + 1] > e
+            new_col_s = jnp.where(row0_ok, s0[:, 0:1], NEG32)
+            mcs_ref[:] = shift1(mc_s, new_col_s)
+            mcx_ref[:] = shift1(mc_x, Z32)
+            mcw_ref[:] = shift1(mc_w, Z32)
+
+            # per-lane best-cell accumulators by pair parity.  No per-lane
+            # reset is needed at ownership handover: the parity-p
+            # accumulator is flushed AND reset whole by the epilogue at
+            # the end of the phase in which the previous parity-p pair
+            # finished -- exactly one phase before the next parity-p pair
+            # starts writing.
+            elig = inner & ((lane == xlen - 1) | (j_idx == ylen - 1))
+            packed = (s0 << jnp.int32(13)) | (lane + j_idx)  # d_loc = i + j
+            npm = jnp.where(elig, packed, SENT)
+            # lanes whose owning pair has parity 0 (select between bool
+            # vectors is illegal in Mosaic; xor with the scalar instead)
+            m0 = young ^ (qpar != 0)
+            c0 = jnp.where(m0, npm, SENT)
+            a0 = a0_ref[:]
+            upd0 = c0 > a0
+            a0_ref[:] = jnp.where(upd0, c0, a0)
+            v0_ref[:] = jnp.where(upd0, w0, v0_ref[:])
+            c1 = jnp.where(m0, SENT, npm)
+            a1 = a1_ref[:]
+            upd1 = c1 > a1
+            a1_ref[:] = jnp.where(upd1, c1, a1)
+            v1_ref[:] = jnp.where(upd1, w0, v1_ref[:])
+
+            sbufs[u % 4][:] = s0
+            wbufs[u % 4][:] = w0
+
+        # phase-end epilogue: the pair that just finished its old phase
+        # (parity (q-1) & 1) has a complete, exclusive accumulator; fold
+        # it across lanes (lex-max (s, i, d)) into output slot q-1.
+        @pl.when((ebase == jnp.int32(L - UNROLL)) & (q >= 1))
+        def _flush():
+            oldpar = (q - jnp.int32(1)) & jnp.int32(1)
+            use0 = oldpar == 0
+            Ap = jnp.where(use0, a0_ref[:], a1_ref[:])
+            Wp = jnp.where(use0, v0_ref[:], v1_ref[:])
+            amax = jnp.max(Ap, axis=1, keepdims=True)  # (RBLK2, 1)
+            any_ = amax != SENT
+            s_l = Ap >> jnp.int32(13)
+            smax = amax >> jnp.int32(13)
+            bi = jnp.max(
+                jnp.where(s_l == smax, lane, jnp.int32(-1)),
+                axis=1, keepdims=True,
+            )
+            at = lane == bi
+            dsel = jnp.sum(
+                jnp.where(at, Ap & jnp.int32(8191), Z32),
+                axis=1, keepdims=True,
+            )
+            wsel = jnp.sum(jnp.where(at, Wp, Z32), axis=1, keepdims=True)
+            bs_v = jnp.where(any_, smax, SENT)
+            bi_v = jnp.where(any_, bi, Z32)
+            bj_v = jnp.where(any_, dsel - bi, Z32)
+            bw_v = jnp.where(any_, wsel, Z32)
+            slot = q - jnp.int32(1)
+            kiota = jax.lax.broadcasted_iota(jnp.int32, (RBLK2, K), 1)
+            mask = kiota == slot
+            bs_ref[:] = jnp.where(mask, bs_v, bs_ref[:])
+            bi_ref[:] = jnp.where(mask, bi_v, bi_ref[:])
+            bj_ref[:] = jnp.where(mask, bj_v, bj_ref[:])
+            bw_ref[:] = jnp.where(mask, bw_v, bw_ref[:])
+            # hand the accumulator to the next pair of this parity
+            sent_full = jnp.full((RBLK2, L), SENT, jnp.int32)
+            zero_full = jnp.zeros((RBLK2, L), jnp.int32)
+            a0_ref[:] = jnp.where(use0, sent_full, a0_ref[:])
+            v0_ref[:] = jnp.where(use0, zero_full, v0_ref[:])
+            a1_ref[:] = jnp.where(use0, a1_ref[:], sent_full)
+            v1_ref[:] = jnp.where(use0, v1_ref[:], zero_full)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("max_len", "interpret"))
+def nw_stats_batch_pallas_pipe2(
+    X: jax.Array,  # [B, L] uint8 codes
+    Y: jax.Array,
+    xlen: jax.Array,  # [B]
+    ylen: jax.Array,
+    igap,
+    egap,
+    *,
+    max_len: int,
+    interpret: bool = False,
+) -> NWStatsResult:
+    """v2 pipelined stats aligner (see _make_nw_stats_pipe2_kernel).
+    Bit-equal to nw_stats_batch / nw_stats_batch_pallas / ..._pipe."""
+    B, L = X.shape
+    K = PIPE2_K
+    assert L == max_len and L % 128 == 0
+    assert B % (RBLK2 * K) == 0, (B, RBLK2, K)
+    assert L % UNROLL == 0
+    R = B // K  # sublane rows; row r streams pairs r*K .. r*K+K-1
+    NS = (K + 1) * L
+    n_grid = NS // UNROLL
+    grid = (R // RBLK2, n_grid)
+
+    Xi = X.astype(jnp.int32)
+    Yi = Y.astype(jnp.int32)
+    xl = xlen.astype(jnp.int32)
+    yl = ylen.astype(jnp.int32)
+
+    padL = jnp.zeros((R, L), jnp.int32)
+    g3 = lambda a: a.reshape(R, n_grid, UNROLL).transpose(1, 0, 2)
+    fx = g3(jnp.concatenate([Xi.reshape(R, K * L), padL], axis=1))
+    fy = g3(jnp.concatenate([Yi.reshape(R, K * L), padL], axis=1))
+    rep = lambda v: jnp.repeat(v.reshape(R, K), L, axis=1)
+    fy0 = g3(jnp.concatenate([rep(Yi[:, 0]), padL], axis=1))
+    fxl_y = g3(jnp.concatenate([rep(xl), padL], axis=1))
+    fyl_y = g3(jnp.concatenate([rep(yl), padL], axis=1))
+    fxl_o = g3(jnp.concatenate([padL, rep(xl)], axis=1))
+    fyl_o = g3(jnp.concatenate([padL, rep(yl)], axis=1))
+
+    kernel = _make_nw_stats_pipe2_kernel(L)
+    scr = [pltpu.VMEM((RBLK2, L), jnp.int32)] * 20
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((R, K), jnp.int32) for _ in range(4)
+    )
+    smem11 = pl.BlockSpec((1, 1), lambda b, g: (0, 0), memory_space=pltpu.SMEM)
+    feedU = lambda: pl.BlockSpec(
+        (1, RBLK2, UNROLL), lambda b, g: (g, b, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (RBLK2, K), lambda b, g: (b, 0), memory_space=pltpu.VMEM
+    )
+    bs, bi, bj, bw = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem11, smem11,
+                  feedU(), feedU(), feedU(), feedU(), feedU(),
+                  feedU(), feedU()],
+        out_specs=tuple(out_spec for _ in range(4)),
+        out_shape=out_shape,
+        scratch_shapes=scr,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(
+        jnp.asarray(igap, jnp.int32).reshape(1, 1),
+        jnp.asarray(egap, jnp.int32).reshape(1, 1),
+        fx, fy, fy0, fxl_y, fyl_y, fxl_o, fyl_o,
+    )
+    return NWStatsResult(
+        best_score=bs.reshape(B),
+        best_i=bi.reshape(B),
+        best_j=bj.reshape(B),
+        length=bw.reshape(B) & 0xFFFF,
+        identities=bw.reshape(B) >> 16,
+    )
+
 
 @functools.partial(jax.jit, static_argnames=("max_len", "interpret"))
 def nw_stats_batch_pallas_pipe(

@@ -20,10 +20,13 @@ from .extend_packed import BASES_PER_WORD
 from .nw import nw_forward_batch, nw_stats_batch
 from .nw_pallas import (
     BBLK,
+    PIPE2_K,
     PIPE_K,
+    RBLK2,
     nw_forward_batch_pallas,
     nw_stats_batch_pallas,
     nw_stats_batch_pallas_pipe,
+    nw_stats_batch_pallas_pipe2,
 )
 from .traceback import TracebackResult, traceback_batch
 
@@ -106,7 +109,15 @@ def nw_stats_rows(
     xl = dlen[s]
     yl = qlen[r]
     B = r.shape[0]
-    if use_pallas and pipe and B % (BBLK * PIPE_K) == 0 and max_len % 8 == 0:
+    if (
+        use_pallas and pipe and B % (RBLK2 * PIPE2_K) == 0
+        and max_len % 8 == 0
+    ):
+        # v2 pipelined kernel: 16 pairs streamed per 16-sublane row with
+        # the associative best-cell fold (nw_pallas.py
+        # _make_nw_stats_pipe2_kernel; ~1.7x the v1 pipe kernel).
+        nw_fn = nw_stats_batch_pallas_pipe2
+    elif use_pallas and pipe and B % (BBLK * PIPE_K) == 0 and max_len % 8 == 0:
         # Pipelined kernel: K pairs streamed per sublane row at ~full lane
         # occupancy, ~1.8x fewer wavefront steps (nw_pallas.py
         # _make_nw_stats_pipe_kernel).  Bit-equal to the plain kernels;

@@ -133,6 +133,30 @@ def test_nw_stats_rows_pipe_dispatch_equal():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("seed,L,mult", [(0, 128, 1), (7, 128, 2), (23, 256, 1)])
+def test_stats_pallas_pipe2_interpret_matches_jnp(seed, L, mult):
+    """The v2 pipelined stats kernel (16 pairs per 16-sublane row,
+    associative best-cell fold) must be bit-equal to the jnp stats
+    aligner, including best_score/best_i/best_j tie-breaks (the
+    sequential reference fold reduced to lex-max (s, i, d))."""
+    from imsame_tpu.ops.nw_pallas import (
+        PIPE2_K, RBLK2, nw_stats_batch_pallas_pipe2)
+
+    rng = np.random.default_rng(seed)
+    B = mult * RBLK2 * PIPE2_K
+    X, Y, xlen, ylen = _mixed_pairs(rng, B, L)
+    st = nw_stats_batch(
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(xlen), jnp.asarray(ylen),
+        -5, -2, max_len=L,
+    )
+    sp = nw_stats_batch_pallas_pipe2(
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(xlen), jnp.asarray(ylen),
+        -5, -2, max_len=L, interpret=True,
+    )
+    for a, b in zip(st, sp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("seed", [0, 7])
 def test_stats_pallas_interpret_matches_jnp(seed):
     rng = np.random.default_rng(seed)
