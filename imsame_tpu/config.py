@@ -71,6 +71,17 @@ class Config:
     # only on the Pallas path and to batches divisible by BBLK*PIPE_K;
     # smaller batches use the plain wavefront kernel either way.
     nw_pipe: bool = True
+    # Device-side candidate enumeration (ops/enum_gate.py): the gate
+    # rebuilds the reference's candidate stream on device from the packed
+    # query rows + the engine-resident bucket table, so per-candidate
+    # host->device traffic disappears.  None = off: measured on TPU v5e,
+    # the enumeration's scattered gathers (~9 ns/element) cost more than
+    # the host-built candidate upload they replace; the path is kept
+    # bit-equal and tested for link-bound topologies.  Applies only
+    # single-device with the packed index format and padded query rows
+    # <= gate_enum_max_rows.
+    gate_enum: Optional[bool] = None
+    gate_enum_max_rows: int = 1 << 17
     # Device mesh (data, dict) for the production engine (SURVEY.md 2a):
     # "auto" = use every visible device on the data axis when the batch
     # shapes divide evenly (single-device otherwise); None = single-device;

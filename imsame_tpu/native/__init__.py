@@ -63,6 +63,7 @@ def _load():
     lib.imsame_kmer_stream.restype = None
     lib.imsame_kmer_stream.argtypes = [
         i8, i64, i64, ctypes.c_int64, ctypes.c_int32, i32, i64, i32, i32, i64,
+        ctypes.c_int32,
     ]
 
     lib.imsame_build_flat.restype = ctypes.c_int64
@@ -137,6 +138,7 @@ def kmer_stream_arrays(codes, qlo, n_kmers, k: int, bucket_start):
         np.ascontiguousarray(n_kmers, np.int64),
         len(qlo), k,
         bucket_start, kp, lo, cnt, Ccum,
+        os.cpu_count() or 1,
     )
     return kp, lo, cnt, Ccum
 

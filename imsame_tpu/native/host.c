@@ -162,15 +162,25 @@ static void *idx_fill_pass(void *arg) {
     return NULL;
 }
 
-static void run_tasks(IdxTask *tasks, int T, void *(*fn)(void *)) {
+/* Generic task runner: tasks is an array of T task structs of size
+ * ``stride`` bytes (passing the typed pointer directly would index with
+ * the wrong element size for any struct but the one it was declared
+ * for). */
+static void run_tasks_s(void *tasks, size_t stride, int T,
+                        void *(*fn)(void *)) {
     pthread_t tids[64];
     int spawned = 0;
+    char *base = (char *)tasks;
     for (int j = 0; j + 1 < T; j++)
-        if (pthread_create(&tids[j], NULL, fn, &tasks[j]) == 0) spawned++;
-        else { fn(&tasks[j]); }  /* degrade: run inline */
-    fn(&tasks[T - 1]);
+        if (pthread_create(&tids[j], NULL, fn, base + (size_t)j * stride) == 0)
+            spawned++;
+        else { fn(base + (size_t)j * stride); }  /* degrade: run inline */
+    fn(base + (size_t)(T - 1) * stride);
     for (int j = 0; j < spawned; j++) pthread_join(tids[j], NULL);
 }
+
+#define run_tasks(tasks, T, fn) \
+    run_tasks_s((tasks), sizeof((tasks)[0]), (T), (fn))
 
 EXPORT int64_t imsame_index_build(
     const uint8_t *codes, const uint8_t *fresh,
@@ -367,31 +377,120 @@ EXPORT int32_t imsame_render_blocks(
  *   cnt[i]  bucket size
  *   Ccum[i] exclusive prefix sum of cnt (Ccum[0]=0, length total+1)
  */
+typedef struct {
+    const uint8_t *codes;
+    const int64_t *qlo, *n_kmers, *slot_off;
+    int64_t r0, r1;
+    int32_t k;
+    const int32_t *bucket_start;
+    int64_t *kp;
+    int32_t *lo, *cnt;
+    int64_t *Ccum;
+    int64_t range_total; /* out of scan pass / base for fixup pass */
+} KsTask;
+
+/* Per-thread scan of a contiguous read range: reads are independent (each
+ * read's slots land at slot_off[rd]), so only the Ccum prefix is global --
+ * the scan writes thread-LOCAL cumulatives and a fixup pass adds the
+ * cross-range base.  The scan is cache-miss bound on the two adjacent
+ * bucket_start words per slot (67 MB table); threads overlap the misses. */
+static void *ks_scan(void *arg) {
+    KsTask *t = (KsTask *)arg;
+    const uint32_t mask = key_mask(t->k);
+    int64_t c = 0;
+    for (int64_t rd = t->r0; rd < t->r1; rd++) {
+        int64_t s = t->qlo[rd], m = t->n_kmers[rd];
+        int64_t i = t->slot_off[rd];
+        if (m <= 0) continue;
+        uint32_t key = 0;
+        for (int32_t j = 0; j < t->k - 1; j++)
+            key = (key << 2) | t->codes[s + j];
+        for (int64_t j = 0; j < m; j++) {
+            key = ((key << 2) | t->codes[s + j + t->k - 1]) & mask;
+            t->kp[i] = s + j;
+            int32_t l = t->bucket_start[key];
+            int32_t h = t->bucket_start[key + 1];
+            t->lo[i] = l;
+            t->cnt[i] = h - l;
+            c += h - l;
+            t->Ccum[i + 1] = c;
+            i++;
+        }
+    }
+    t->range_total = c;
+    return NULL;
+}
+
+static void *ks_fixup(void *arg) {
+    KsTask *t = (KsTask *)arg;
+    int64_t base = t->range_total; /* repurposed: prefix of earlier ranges */
+    if (base == 0) return NULL;
+    int64_t i0 = t->slot_off[t->r0] + 1, i1 = t->slot_off[t->r1] + 1;
+    for (int64_t i = i0; i < i1; i++) t->Ccum[i] += base;
+    return NULL;
+}
+
 EXPORT void imsame_kmer_stream(
     const uint8_t *codes,
     const int64_t *qlo, const int64_t *n_kmers, int64_t n_seqs, int32_t k,
     const int32_t *bucket_start,
-    int64_t *kp, int32_t *lo, int32_t *cnt, int64_t *Ccum) {
-    const uint32_t mask = key_mask(k);
-    int64_t i = 0, c = 0;
+    int64_t *kp, int32_t *lo, int32_t *cnt, int64_t *Ccum,
+    int32_t n_threads) {
     Ccum[0] = 0;
-    for (int64_t rd = 0; rd < n_seqs; rd++) {
-        int64_t s = qlo[rd], m = n_kmers[rd];
-        if (m <= 0) continue;
-        uint32_t key = 0;
-        for (int32_t j = 0; j < k - 1; j++) key = (key << 2) | codes[s + j];
-        for (int64_t j = 0; j < m; j++) {
-            key = ((key << 2) | codes[s + j + k - 1]) & mask;
-            kp[i] = s + j;
-            int32_t l = bucket_start[key];
-            int32_t h = bucket_start[key + 1];
-            lo[i] = l;
-            cnt[i] = h - l;
-            c += h - l;
-            Ccum[i + 1] = c;
-            i++;
+    int64_t *slot_off = (int64_t *)malloc((size_t)(n_seqs + 1) * 8);
+    if (!slot_off) { /* degrade: the original single-threaded scan */
+        const uint32_t mask = key_mask(k);
+        int64_t i = 0, c = 0;
+        for (int64_t rd = 0; rd < n_seqs; rd++) {
+            int64_t s = qlo[rd], m = n_kmers[rd];
+            if (m <= 0) continue;
+            uint32_t key = 0;
+            for (int32_t j = 0; j < k - 1; j++) key = (key << 2) | codes[s + j];
+            for (int64_t j = 0; j < m; j++) {
+                key = ((key << 2) | codes[s + j + k - 1]) & mask;
+                kp[i] = s + j;
+                int32_t l = bucket_start[key];
+                int32_t h = bucket_start[key + 1];
+                lo[i] = l;
+                cnt[i] = h - l;
+                c += h - l;
+                Ccum[i + 1] = c;
+                i++;
+            }
         }
+        return;
     }
+    int64_t total = 0;
+    for (int64_t rd = 0; rd < n_seqs; rd++) {
+        slot_off[rd] = total;
+        if (n_kmers[rd] > 0) total += n_kmers[rd];
+    }
+    slot_off[n_seqs] = total;
+    int T = n_threads < 1 ? 1 : (n_threads > 32 ? 32 : n_threads);
+    if (total < (1 << 18)) T = 1;
+    KsTask tasks[32];
+    /* split read ranges by slot count for balance */
+    int64_t r = 0;
+    for (int j = 0; j < T; j++) {
+        KsTask *t = &tasks[j];
+        t->codes = codes; t->qlo = qlo; t->n_kmers = n_kmers;
+        t->slot_off = slot_off; t->k = k; t->bucket_start = bucket_start;
+        t->kp = kp; t->lo = lo; t->cnt = cnt; t->Ccum = Ccum;
+        t->r0 = r;
+        int64_t goal = total * (j + 1) / T;
+        while (r < n_seqs && slot_off[r] < goal) r++;
+        t->r1 = (j == T - 1) ? n_seqs : r;
+        t->range_total = 0;
+    }
+    run_tasks(tasks, T, ks_scan);
+    int64_t acc = 0;
+    for (int j = 0; j < T; j++) {
+        int64_t rt = tasks[j].range_total;
+        tasks[j].range_total = acc; /* repurpose as fixup base */
+        acc += rt;
+    }
+    run_tasks(tasks, T, ks_fixup);
+    free(slot_off);
 }
 
 /* Expand candidate-rank windows [from_rank[e], to_rank[e]) of the selected

@@ -59,6 +59,11 @@ from .io.fasta import CODE_TO_CHAR, SeqInfo
 from .io.reconstruct import backtrack_from_chain
 from .io.report import format_record, render_alignment
 from .ops.candidates import flat_gate, flat_gate_packed
+from .ops.enum_gate import (
+    build_enum_tables,
+    enum_gate_chunk,
+    enum_select_prefix,
+)
 from .ops.extend import raw_score_threshold
 from .ops.extend_packed import pack_stream, rows_from_stream
 from .ops.resolve import nw_stats_rows, nw_traceback_rows
@@ -202,6 +207,25 @@ class TpuEngine:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self._use_pallas = use_pallas
+        # Device-side candidate enumeration (ops/enum_gate.py): resident
+        # bucket prefix table; per-compare slot tables built in _compare.
+        # Default OFF: on this TPU, scattered element gathers cost ~9 ns
+        # each, so the enumeration's per-slot bucket lookups (2 x 8M) and
+        # rank->slot searches are slower than shipping host-built
+        # candidates even through a ~100 MB/s tunnel.  The path is kept
+        # (bit-equal, tested) for topologies where link bytes are the
+        # scarcer resource.
+        use_enum = self.cfg.gate_enum
+        if use_enum is None:
+            use_enum = False
+        self._use_enum = (
+            bool(use_enum) and self._mesh is None and self._packed_idx
+        )
+        self._d_bs = (
+            jnp.asarray(np.ascontiguousarray(self.index.bucket_start, np.int32))
+            if self._use_enum
+            else None
+        )
         # Device handles of the last compare()'s query-side tables; the
         # render path re-runs the bp kernel on accepted pairs from these.
         self._last_dev: Optional[Tuple] = None
@@ -301,22 +325,16 @@ class TpuEngine:
         return self._dp_cache[row_len]
 
     # ------------------------------------------------------------------
-    def _kmer_stream(self, q: SeqInfo):
-        """Per-read candidate stream tables (host, vectorized).
+    def _stream_bounds(self, q: SeqInfo):
+        """Per-read k-mer stream bounds (host, vectorized, cheap).
 
-        Returns (kp, K_off, lo, cnt, Ccum, C_off):
-          kp[i]    k-mer start position of global k-mer slot i (stream order)
-          K_off[r] first k-mer slot of read r (K_off[n] = total slots)
-          lo[i]    index bucket start for slot i
-          cnt[i]   bucket size for slot i
-          Ccum[i]  exclusive cumsum of cnt (global candidate offsets)
-          C_off[r] first global candidate rank boundary per read
-        """
+        Returns (qlo, qhi, n_kmers): concatenated-coordinate stream window
+        per read, with the boundary-base quirk (SURVEY.md 6.5) and the
+        n_threads split semantics (a thread's first read does not inherit
+        the previous read's trailing base, reference worker init)."""
         n = q.n_seqs
         starts = q.start.astype(np.int64)
         total = q.total_len
-        # Stream bounds with the boundary-base quirk; thread-split firsts
-        # lose the previous read's trailing base (reference worker init).
         qlo = starts.copy()
         if n > 0:
             qlo[1:] = starts[1:] - 1
@@ -333,8 +351,23 @@ class TpuEngine:
             qhi[:-1] = starts[1:] - 2
         if n > 0:
             qhi[-1] = total - 1
-
         n_kmers = np.maximum(0, qhi - FIXED_K + 1 - qlo + 1)  # [n]
+        return qlo, qhi, n_kmers
+
+    def _kmer_stream(self, q: SeqInfo):
+        """Per-read candidate stream tables (host, vectorized).
+
+        Returns (kp, K_off, lo, cnt, Ccum, C_off):
+          kp[i]    k-mer start position of global k-mer slot i (stream order)
+          K_off[r] first k-mer slot of read r (K_off[n] = total slots)
+          lo[i]    index bucket start for slot i
+          cnt[i]   bucket size for slot i
+          Ccum[i]  exclusive cumsum of cnt (global candidate offsets)
+          C_off[r] first global candidate rank boundary per read
+        """
+        n = q.n_seqs
+        starts = q.start.astype(np.int64)
+        qlo, qhi, n_kmers = self._stream_bounds(q)
         K_off = np.zeros(n + 1, np.int64)
         K_off[1:] = n_kmers.cumsum()
         total_kmers = int(K_off[-1])
@@ -730,6 +763,76 @@ class TpuEngine:
             x, NamedSharding(self._mesh, _P(None, ("data", "dict")))
         )
 
+    # ------------------------------------------------------------------
+    # Device-side candidate enumeration (ops/enum_gate.py): the gate
+    # consumes rank windows instead of host-built candidate arrays, so
+    # per-candidate H2D traffic (the dominant gate cost behind the
+    # tunnel) disappears.  Host keeps its own stream tables solely to map
+    # the ~sparse PASSING bits back to (read, db read) pairs.
+    def _enum_prepare(self, q: SeqInfo, d_qp, d_qlen, qlo, n_kmers):
+        """Upload per-read scalars and dispatch the slot-table build
+        (async; overlaps the host k-mer scan)."""
+        R = d_qp.shape[0]
+        n = q.n_seqs
+        hasb = np.zeros(R, np.int32)
+        hasb[:n] = (qlo != q.start.astype(np.int64)).astype(np.int32)
+        nk = np.zeros(R, np.int32)
+        nk[:n] = np.minimum(n_kmers, np.iinfo(np.int32).max)
+        d_hasb = jnp.asarray(hasb)
+        lo_g, cnt_g, Rcum, _tot = build_enum_tables(
+            d_qp, self._d_bs, d_hasb, jnp.asarray(nk), d_qlen[:R],
+            row_len=self._row_len,
+        )
+        self._enum_state = (lo_g, cnt_g, Rcum, d_hasb, hasb[:n])
+
+    def _enum_gate_stage(
+        self, frm_np, to_np, N, window, d_qp, d_dp, d_qlen, d_dlen, d_thr
+    ):
+        """Gate the rank-window selection [frm, to) per read (device
+        enumeration); returns (passes, exact) bool[N] in stream order."""
+        lo_g, cnt_g, Rcum, d_hasb, _ = self._enum_state
+        R = lo_g.shape[0]
+        frm_p = np.zeros(R, np.int32)
+        to_p = np.zeros(R, np.int32)
+        frm_p[: len(frm_np)] = frm_np
+        to_p[: len(to_np)] = to_np
+        scum, start_off = enum_select_prefix(
+            cnt_g, Rcum, jnp.asarray(frm_p), jnp.asarray(to_p)
+        )
+        sizes = sorted(self.cfg.gate_chunks, reverse=True)
+        pending = []
+        pos = 0
+        t_disp0 = time.perf_counter()
+        while pos < N:
+            rem = N - pos
+            size = sizes[0]
+            for z in sizes[1:]:
+                if -(-rem // z) * z <= size:
+                    size = z
+            take = min(rem, size)
+            bits = enum_gate_chunk(
+                d_qp, d_dp, d_qlen, d_dlen, self._d_idx_tab, d_thr,
+                lo_g, scum, start_off, d_hasb, np.int32(pos),
+                chunk=size, window=window, packed_idx=True,
+                row_len=self._row_len,
+            )
+            pending.append((pos, take, size, bits))
+            pos += take
+        self.timer.accumulate("gate.dispatch", time.perf_counter() - t_disp0)
+        passes = np.zeros(N, bool)
+        exact = np.zeros(N, bool)
+        t_f0 = time.perf_counter()
+        fetched = jax.device_get([bits for _, _, _, bits in pending])
+        self.timer.accumulate("gate.fetch", time.perf_counter() - t_f0)
+        for (pos, take, size, _), pb in zip(pending, fetched):
+            pb = np.ascontiguousarray(pb, dtype="<u4")
+            flat = np.unpackbits(
+                pb.view(np.uint8).reshape(2, -1), axis=1, bitorder="little"
+            )[:, :size].astype(bool)
+            passes[pos : pos + take] = flat[0, :take]
+            exact[pos : pos + take] = flat[1, :take]
+        return passes, exact
+
     def _nw_stats_dispatch(self, d_qp, d_dp, rs, d_qlen, d_dlen, L):
         if self._mesh is None:
             return nw_stats_rows(
@@ -904,6 +1007,18 @@ class TpuEngine:
                 d_dlen = self._d_dlen
                 self._last_dev = (d_qp, d_dp, d_qlen, d_dlen)
 
+        # Enumeration-gate prep: dispatch the device slot-table build
+        # BEFORE the host k-mer scan so the two overlap (the table build
+        # needs only the packed rows + per-read bounds, both cheap).
+        use_enum = (
+            self._use_enum
+            and d_qp is not None
+            and d_qp.shape[0] <= self.cfg.gate_enum_max_rows
+        )
+        if use_enum:
+            qlo_e, _, n_kmers_e = self._stream_bounds(q)
+            self._enum_prepare(q, d_qp, d_qlen, qlo_e, n_kmers_e)
+
         with self.timer.phase("kmer_stream"):
             kp, K_off, lo, cnt, Ccum, C_off = self._kmer_stream(q)
         N_r = (C_off[1:] - C_off[:-1]) if n else np.empty(0, np.int64)
@@ -960,10 +1075,77 @@ class TpuEngine:
                 qoffs = (kp[ts] + FIXED_K - q_start[rids]).astype(np.int32)
                 return rids.astype(np.int32), hits, qoffs
 
+            def map_selected(sel_idx, frm, to):
+                """Map stage-selection ranks to (read, hit, qoff) with the
+                host stream tables -- the exact inverse of the device
+                enumeration's addressing (ops/enum_gate.py)."""
+                lo_r = np.minimum(frm, N_r)
+                hi_r = np.minimum(to, N_r)
+                sel_r = np.maximum(hi_r - lo_r, 0)
+                selcum = np.zeros(n + 1, np.int64)
+                np.cumsum(sel_r, out=selcum[1:])
+                r = np.searchsorted(selcum, sel_idx, side="right") - 1
+                rank = lo_r[r] + (sel_idx - selcum[r])
+                gc = C_off[r] + rank
+                slot = np.searchsorted(Ccum, gc, side="right") - 1
+                hits = (lo[slot] + (gc - Ccum[slot])).astype(np.int32)
+                qoffs = (kp[slot] + FIXED_K - q_start[r]).astype(np.int32)
+                return r.astype(np.int32), hits, qoffs
+
+            def run_gate_enum(read_ids, from_rank, to_rank, small_first):
+                """Device-enumerated twin of run_gate: ships rank windows
+                (O(n_reads) words) instead of candidate arrays."""
+                frm = np.zeros(n, np.int64)
+                to = np.zeros(n, np.int64)
+                frm[read_ids] = from_rank
+                to[read_ids] = to_rank
+                N = int(
+                    np.maximum(
+                        np.minimum(to, N_r) - np.minimum(frm, N_r), 0
+                    ).sum()
+                )
+                self._n_cands += N
+                if N == 0:
+                    return np.empty(0, np.int32), np.empty(0, np.int64)
+                w_small = self.cfg.gate_window_small if small_first else 0
+                with self.timer.phase("resolve.extend"):
+                    if w_small and w_small < window:
+                        passes, exact = self._enum_gate_stage(
+                            frm, to, N, w_small,
+                            d_qp, d_dp, d_qlen, d_dlen, d_thr,
+                        )
+                        esc = np.flatnonzero(~exact)
+                        if len(esc):
+                            er, eh, eq = map_selected(esc, frm, to)
+                            rq = (
+                                er.astype(np.uint32) << np.uint32(12)
+                            ) | eq.astype(np.uint32)
+                            p2, _ = self._gate_chunks(
+                                True, eh, rq, d_thr, thr, d_qp, d_qlen,
+                                window,
+                            )
+                            passes[esc] = p2
+                    else:
+                        passes, _ = self._enum_gate_stage(
+                            frm, to, N, window,
+                            d_qp, d_dp, d_qlen, d_dlen, d_thr,
+                        )
+                pidx = np.flatnonzero(passes)
+                pr, ph, _ = map_selected(pidx, frm, to)
+                if idx.packed is not None:
+                    sids = (idx.packed[ph] >> np.uint32(12)).astype(np.int64)
+                else:
+                    sids = idx.sid[ph]
+                return pr, sids
+
             def run_gate(read_ids, from_rank, to_rank, small_first=True):
                 """Gate a rank window; returns the passing candidates'
                 (read, db read) flat arrays in stream order (rids is
                 non-decreasing along the flat stream)."""
+                if use_enum:
+                    return run_gate_enum(
+                        read_ids, from_rank, to_rank, small_first
+                    )
                 with self.timer.phase("gate.build"):
                     rids, hits, qoffs = build_flat(
                         read_ids, from_rank, to_rank

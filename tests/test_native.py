@@ -168,3 +168,52 @@ def test_native_packed_words_match_recompute():
     doff = np.asarray(idx.pos, np.int64) - db.start[sid]
     want = (sid.astype(np.uint32) << np.uint32(12)) | doff.astype(np.uint32)
     np.testing.assert_array_equal(idx.packed, want)
+
+
+@pytest.mark.skipif(
+    native.lib is None, reason="native host library unavailable"
+)
+def test_native_kmer_stream_threaded_large():
+    """>2^18-slot input engages the pthread-split k-mer scan; it must be
+    bit-equal to the numpy path (regression: the generic task runner once
+    indexed the wrong struct size, leaving thread 1's range unwritten)."""
+    import numpy as np
+
+    from imsame_tpu.index.kmer import rolling_keys
+
+    rng = np.random.default_rng(3)
+    n_reads, L = 3000, 200  # 567k slots > 2^18 threshold
+    codes = rng.integers(0, 4, n_reads * L, dtype=np.uint8)
+    start = np.arange(n_reads, dtype=np.int64) * L
+    qlo = start.copy()
+    qlo[1:] = start[1:] - 1
+    qhi = np.empty(n_reads, np.int64)
+    qhi[:-1] = start[1:] - 2
+    qhi[-1] = len(codes) - 1
+    n_kmers = np.maximum(0, qhi - 12 + 1 - qlo + 1)
+    nb = 4**12
+    bucket_start = np.zeros(nb + 1, np.int32)
+    keys = rng.integers(0, nb, 100000)
+    bucket_start[1:] = np.cumsum(np.bincount(keys, minlength=nb)).astype(
+        np.int32
+    )
+    kp, lo, cnt, Ccum = native.kmer_stream_arrays(
+        codes, qlo, n_kmers, 12, bucket_start
+    )
+    total = int(n_kmers.sum())
+    K_off = np.zeros(n_reads + 1, np.int64)
+    K_off[1:] = n_kmers.cumsum()
+    kp_ref = (
+        np.repeat(qlo, n_kmers)
+        + np.arange(total)
+        - np.repeat(K_off[:-1], n_kmers)
+    )
+    ak = rolling_keys(codes)[kp_ref]
+    lo_ref = bucket_start[ak]
+    cnt_ref = (bucket_start[ak.astype(np.int64) + 1] - lo_ref).astype(np.int64)
+    Ccum_ref = np.zeros(total + 1, np.int64)
+    np.cumsum(cnt_ref, out=Ccum_ref[1:])
+    np.testing.assert_array_equal(kp, kp_ref)
+    np.testing.assert_array_equal(lo, lo_ref)
+    np.testing.assert_array_equal(cnt, cnt_ref)
+    np.testing.assert_array_equal(Ccum, Ccum_ref)
