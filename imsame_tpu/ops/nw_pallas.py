@@ -799,6 +799,7 @@ PIPE_K = 8
 # machinery below.
 RBLK2 = 16
 PIPE2_K = 16
+UNROLL2 = 8  # diagonals per grid step for the v2 kernel (own knob)
 
 
 def _make_nw_stats_pipe2_kernel(max_len: int):
@@ -823,7 +824,7 @@ def _make_nw_stats_pipe2_kernel(max_len: int):
        pairs alternate parity), so a pair's accumulator is complete and
        exclusive exactly when it finishes its old phase.
     2. Four rotating score/stat diagonal buffers addressed statically by
-       step index mod 4 (UNROLL % 4 == 0 keeps the mapping grid-step
+       step index mod 4 (UNROLL2 % 4 == 0 keeps the mapping grid-step
        invariant), eliminating the two full-array copies per step each
        that the 3-buffer rotation needed.
     3. mf_x/mf_y packed into one word (x*4096 + y, both < 4096 =
@@ -833,9 +834,9 @@ def _make_nw_stats_pipe2_kernel(max_len: int):
     Stream layout, handover rules, and ownership-transfer safety are
     identical to _make_nw_stats_pipe_kernel (see its docstring)."""
     L = max_len
-    PHASE = L // UNROLL
+    PHASE = L // UNROLL2
     K = PIPE2_K
-    assert UNROLL % 4 == 0
+    assert UNROLL2 % 4 == 0
 
     def kernel(igap_ref, egap_ref,
                fx_ref, fy_ref, fy0_ref, fxl_y_ref, fyl_y_ref,
@@ -845,9 +846,9 @@ def _make_nw_stats_pipe2_kernel(max_len: int):
                mfs_ref, mfxy_ref, mfw_ref, mcs_ref, mcx_ref, mcw_ref,
                yd_ref, xc_ref, a0_ref, a1_ref, v0_ref, v1_ref):
         g = pl.program_id(1)
-        dbase = g * jnp.int32(UNROLL)
+        dbase = g * jnp.int32(UNROLL2)
         q = g // jnp.int32(PHASE)  # phase index = d // L
-        ebase = (g - q * jnp.int32(PHASE)) * jnp.int32(UNROLL)
+        ebase = (g - q * jnp.int32(PHASE)) * jnp.int32(UNROLL2)
         qpar = q & jnp.int32(1)
         igap = igap_ref[0, 0]
         egap = egap_ref[0, 0]
@@ -879,7 +880,7 @@ def _make_nw_stats_pipe2_kernel(max_len: int):
             a0_ref[:] = sent
             a1_ref[:] = sent
 
-        for u in range(UNROLL):
+        for u in range(UNROLL2):
             e = ebase + jnp.int32(u)
             s2 = sbufs[(u + 2) % 4][:]  # diagonal d-2
             s3 = sbufs[(u + 1) % 4][:]  # diagonal d-3
@@ -1019,7 +1020,7 @@ def _make_nw_stats_pipe2_kernel(max_len: int):
         # phase-end epilogue: the pair that just finished its old phase
         # (parity (q-1) & 1) has a complete, exclusive accumulator; fold
         # it across lanes (lex-max (s, i, d)) into output slot q-1.
-        @pl.when((ebase == jnp.int32(L - UNROLL)) & (q >= 1))
+        @pl.when((ebase == jnp.int32(L - UNROLL2)) & (q >= 1))
         def _flush():
             oldpar = (q - jnp.int32(1)) & jnp.int32(1)
             use0 = oldpar == 0
@@ -1079,10 +1080,10 @@ def nw_stats_batch_pallas_pipe2(
     K = PIPE2_K
     assert L == max_len and L % 128 == 0
     assert B % (RBLK2 * K) == 0, (B, RBLK2, K)
-    assert L % UNROLL == 0
+    assert L % UNROLL2 == 0
     R = B // K  # sublane rows; row r streams pairs r*K .. r*K+K-1
     NS = (K + 1) * L
-    n_grid = NS // UNROLL
+    n_grid = NS // UNROLL2
     grid = (R // RBLK2, n_grid)
 
     Xi = X.astype(jnp.int32)
@@ -1091,7 +1092,7 @@ def nw_stats_batch_pallas_pipe2(
     yl = ylen.astype(jnp.int32)
 
     padL = jnp.zeros((R, L), jnp.int32)
-    g3 = lambda a: a.reshape(R, n_grid, UNROLL).transpose(1, 0, 2)
+    g3 = lambda a: a.reshape(R, n_grid, UNROLL2).transpose(1, 0, 2)
     fx = g3(jnp.concatenate([Xi.reshape(R, K * L), padL], axis=1))
     fy = g3(jnp.concatenate([Yi.reshape(R, K * L), padL], axis=1))
     rep = lambda v: jnp.repeat(v.reshape(R, K), L, axis=1)
@@ -1108,7 +1109,7 @@ def nw_stats_batch_pallas_pipe2(
     )
     smem11 = pl.BlockSpec((1, 1), lambda b, g: (0, 0), memory_space=pltpu.SMEM)
     feedU = lambda: pl.BlockSpec(
-        (1, RBLK2, UNROLL), lambda b, g: (g, b, 0), memory_space=pltpu.VMEM
+        (1, RBLK2, UNROLL2), lambda b, g: (g, b, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (RBLK2, K), lambda b, g: (b, 0), memory_space=pltpu.VMEM
@@ -1159,10 +1160,10 @@ def nw_stats_batch_pallas_pipe(
     K = PIPE_K
     assert L == max_len and L % 128 == 0
     assert B % (BBLK * K) == 0, (B, BBLK, K)
-    assert L % UNROLL == 0
+    assert L % UNROLL2 == 0
     R = B // K  # sublane rows; row r streams pairs r*K .. r*K+K-1
     NS = (K + 1) * L  # total steps (pair K-1 ends at (K+1)L - 2)
-    n_grid = NS // UNROLL
+    n_grid = NS // UNROLL2
     grid = (R // BBLK, n_grid)
 
     Xi = X.astype(jnp.int32)
@@ -1171,12 +1172,12 @@ def nw_stats_batch_pallas_pipe(
     yl = ylen.astype(jnp.int32)
 
     # Per-row feed streams: entry d of row r belongs to pair r*K + d//L.
-    # Laid out (n_grid, R, UNROLL) so each grid step's feed is one legal
-    # (1, BBLK, UNROLL) VMEM block (last dim equals the overall dim; a
-    # (BBLK, UNROLL) window of a (R, NS) array is an illegal sub-(8,128)
+    # Laid out (n_grid, R, UNROLL2) so each grid step's feed is one legal
+    # (1, BBLK, UNROLL2) VMEM block (last dim equals the overall dim; a
+    # (BBLK, UNROLL2) window of a (R, NS) array is an illegal sub-(8,128)
     # tile on real Mosaic).
     padL = jnp.zeros((R, L), jnp.int32)
-    g3 = lambda a: a.reshape(R, n_grid, UNROLL).transpose(1, 0, 2)
+    g3 = lambda a: a.reshape(R, n_grid, UNROLL2).transpose(1, 0, 2)
     fx = g3(jnp.concatenate([Xi.reshape(R, K * L), padL], axis=1))
     fy = g3(jnp.concatenate([Yi.reshape(R, K * L), padL], axis=1))
     rep = lambda v: jnp.repeat(v.reshape(R, K), L, axis=1)
@@ -1197,7 +1198,7 @@ def nw_stats_batch_pallas_pipe(
     )
     smem11 = pl.BlockSpec((1, 1), lambda b, g: (0, 0), memory_space=pltpu.SMEM)
     feedU = lambda: pl.BlockSpec(
-        (1, BBLK, UNROLL), lambda b, g: (g, b, 0), memory_space=pltpu.VMEM
+        (1, BBLK, UNROLL2), lambda b, g: (g, b, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (BBLK, K), lambda b, g: (b, 0), memory_space=pltpu.VMEM
@@ -1243,8 +1244,8 @@ def nw_stats_batch_pallas(
 ) -> NWStatsResult:
     B, L = X.shape
     assert L == max_len and L % 128 == 0 and B % BBLK == 0
-    NDP = 2 * L  # padded diagonal count (multiple of UNROLL)
-    grid = (B // BBLK, NDP // UNROLL)
+    NDP = 2 * L  # padded diagonal count (multiple of UNROLL2)
+    grid = (B // BBLK, NDP // UNROLL2)
 
     kernel = _make_nw_stats_kernel(L)
     scr = [pltpu.VMEM((BBLK, L), jnp.int32)] * 16 + [

@@ -23,7 +23,7 @@ its acceptance semantics bit-exact:
          dispatch wave with the stats-only aligner (ops/resolve.py
          nw_stats_rows -- no backpointer tensor), then
       3. replay each read's candidate stream on the host: the first
-         candidate whose pair accepted wins the read (_align_and_accept).
+         candidate whose pair accepted wins the read (_judge_and_replay).
          Traceback chains are produced at render time by re-running the
          bp kernel on accepted pairs only.
 
@@ -555,6 +555,18 @@ class TpuEngine:
             and not os.environ.get("IMSAME_GATE_BROADCAST")
         ):
             return self._gate_chunks_routed(hits, b, c, d_qp, d_qlen, window)
+        pending = self._gate_chunks_dispatch(
+            packed, hits, b, c, thr, d_qp, d_qlen, window
+        )
+        return self._gate_chunks_fetch(pending, len(hits))
+
+    def _gate_chunks_dispatch(
+        self, packed, hits, b, c, thr, d_qp, d_qlen, window
+    ):
+        """Dispatch half of _gate_chunks: queues the chunk kernels and
+        returns the pending list WITHOUT blocking, so callers can overlap
+        the gate's device time (and its fetch round trip) with other
+        device waves -- _gate_chunks_fetch collects the bits later."""
         N = len(hits)
         sizes = sorted(self.cfg.gate_chunks, reverse=True)
         pending = []
@@ -623,6 +635,11 @@ class TpuEngine:
             pending.append((pos, take, size, bits))
             pos += take
         self.timer.accumulate("gate.dispatch", time.perf_counter() - t_disp0)
+        return pending
+
+    def _gate_chunks_fetch(self, pending, N):
+        """Fetch half of _gate_chunks; blocks on the queued chunk kernels
+        and unpacks the verdict bits."""
         passes = np.zeros(N, bool)
         exact = np.zeros(N, bool)
         t_f0 = time.perf_counter()
@@ -935,32 +952,6 @@ class TpuEngine:
                     )
                 )
 
-    def _align_and_accept(
-        self,
-        pass_r: np.ndarray,  # [P] read ids of passing candidates, stream order
-        pass_sid: np.ndarray,  # [P] db read ids of passing candidates
-        qlens: np.ndarray,
-        rejected_keys: Set[int],  # r * n_db + sid of NW-rejected pairs
-        resolved: np.ndarray,
-        accepted_records: List[AcceptedRead],
-        d_qp, d_dp, d_qlen, d_dlen,
-        cfg: Config,
-    ) -> None:
-        """One-shot gapped resolution: NW-align every unique passing pair
-        in a single dispatch wave (one device round trip), then judge and
-        replay (_judge_and_replay)."""
-        if not len(pass_r):
-            return
-        cr, cs, ck, key = self._dedup_pairs(pass_r, pass_sid, rejected_keys)
-        with self.timer.phase("resolve.nw"):
-            results = self._run_nw_pairs(
-                cr, cs, qlens, d_qp, d_dp, d_qlen, d_dlen
-            )
-        self._judge_and_replay(
-            results, ck, pass_r, pass_sid, key,
-            rejected_keys, resolved, accepted_records, cfg,
-        )
-
     # ------------------------------------------------------------------
     def compare(self, q: SeqInfo) -> PipelineResult:
         if self.cfg.profile_dir:
@@ -1138,6 +1129,58 @@ class TpuEngine:
                     sids = idx.sid[ph]
                 return pr, sids
 
+            def gate_begin(read_ids, from_rank, to_rank):
+                """Dispatch a single-full-window gate for a rank window
+                WITHOUT fetching; returns a closure that fetches and maps
+                the passes later, so the gate's device time and round trip
+                hide behind the NW wave and the wave-1 judging.  Returns
+                None when this stage must run synchronously (enum path,
+                dict-routed mesh, or windows wide enough to need the
+                small-window escalation tier)."""
+                packed = len(thr) < (1 << 20)
+                routed = (
+                    packed
+                    and self._mesh is not None
+                    and self._mesh.shape["dict"] > 1
+                    and not os.environ.get("IMSAME_GATE_BROADCAST")
+                )
+                if use_enum or routed or window > 256:
+                    return None
+                with self.timer.phase("gate.build"):
+                    rids, hits, qoffs = build_flat(
+                        read_ids, from_rank, to_rank
+                    )
+                self._n_cands += len(rids)
+                with self.timer.phase("resolve.extend"):
+                    if packed:
+                        rq = (
+                            rids.astype(np.uint32) << np.uint32(12)
+                        ) | qoffs.astype(np.uint32)
+                        pending = self._gate_chunks_dispatch(
+                            True, hits, rq, d_thr, thr, d_qp, d_qlen, window
+                        )
+                    else:
+                        pending = self._gate_chunks_dispatch(
+                            False, hits, rids, qoffs, thr, d_qp, d_qlen,
+                            window,
+                        )
+
+                def finish():
+                    with self.timer.phase("resolve.extend"):
+                        passes, _ = self._gate_chunks_fetch(
+                            pending, len(hits)
+                        )
+                    pidx = np.flatnonzero(passes)
+                    if idx.packed is not None:
+                        sids = (
+                            idx.packed[hits[pidx]] >> np.uint32(12)
+                        ).astype(np.int64)
+                    else:
+                        sids = idx.sid[hits[pidx]]
+                    return rids[pidx], sids
+
+                return finish
+
             def run_gate(read_ids, from_rank, to_rank, small_first=True):
                 """Gate a rank window; returns the passing candidates'
                 (read, db read) flat arrays in stream order (rids is
@@ -1199,13 +1242,20 @@ class TpuEngine:
                 if len(pr1):
                     has_pass[pr1] = True
                 spec = np.flatnonzero(~has_pass & (N_r > F))
+                pr2 = np.empty(0, np.int32)
+                ps2 = np.empty(0, np.int64)
+                fin2 = None
                 if len(spec):
-                    pr2, ps2 = run_gate(
+                    # Stage 2 dispatched behind wave 1 on the device queue
+                    # and fetched only after judging -- its compute AND its
+                    # fetch round trip overlap the NW wave + host judging.
+                    fin2 = gate_begin(
                         spec, np.full(len(spec), F, np.int64), N_r[spec]
                     )
-                else:
-                    pr2 = np.empty(0, np.int32)
-                    ps2 = np.empty(0, np.int64)
+                    if fin2 is None:
+                        pr2, ps2 = run_gate(
+                            spec, np.full(len(spec), F, np.int64), N_r[spec]
+                        )
 
                 with self.timer.phase("resolve.nw"):
                     results1 = self._nw_fetch_pairs(P1, pend1)
@@ -1215,19 +1265,57 @@ class TpuEngine:
                 )
 
                 leftover = np.flatnonzero(~resolved & (N_r > F) & has_pass)
+                fin3 = None
                 if len(leftover):
-                    pr3, ps3 = run_gate(
+                    # dispatch the leftover gate BEFORE fetching stage 2:
+                    # it queues behind stage 2 and computes during stage
+                    # 2's fetch round trip.
+                    fin3 = gate_begin(
                         leftover, np.full(len(leftover), F, np.int64),
                         N_r[leftover],
                     )
-                    # reads are disjoint from spec, so concatenation keeps
-                    # every read's candidates in stream order
-                    pr2 = np.concatenate([pr2, pr3])
-                    ps2 = np.concatenate([ps2, ps3])
-                self._align_and_accept(
-                    pr2, ps2, qlens, rejected_keys, resolved,
-                    accepted_records, d_qp, d_dp, d_qlen, d_dlen, cfg,
+                if fin2 is not None:
+                    pr2, ps2 = fin2()
+                # Speculative wave A: NW the stage-2 passes' unique pairs
+                # NOW, before the leftover gate's fetch -- the wave
+                # computes during that round trip.  The leftover reads are
+                # disjoint from spec, so their pairs join as wave B and
+                # one combined judge replays both stream segments.
+                cr2, cs2, ck2, key2 = self._dedup_pairs(
+                    pr2, ps2, rejected_keys
                 )
+                with self.timer.phase("resolve.nw"):
+                    P2, pend2 = self._nw_dispatch_pairs(
+                        cr2, cs2, qlens, d_qp, d_dp, d_qlen, d_dlen
+                    )
+                pr3 = np.empty(0, np.int32)
+                ps3 = np.empty(0, np.int64)
+                if len(leftover):
+                    if fin3 is not None:
+                        pr3, ps3 = fin3()
+                    else:
+                        pr3, ps3 = run_gate(
+                            leftover, np.full(len(leftover), F, np.int64),
+                            N_r[leftover],
+                        )
+                cr3, cs3, ck3, key3 = self._dedup_pairs(
+                    pr3, ps3, rejected_keys.union(int(k) for k in ck2)
+                )
+                with self.timer.phase("resolve.nw"):
+                    P3, pend3 = self._nw_dispatch_pairs(
+                        cr3, cs3, qlens, d_qp, d_dp, d_qlen, d_dlen
+                    )
+                    results2 = self._nw_fetch_pairs(P2, pend2)
+                    results3 = self._nw_fetch_pairs(P3, pend3)
+                if len(pr2) or len(pr3):
+                    self._judge_and_replay(
+                        results2 + results3,
+                        np.concatenate([ck2, ck3]),
+                        np.concatenate([pr2, pr3]),
+                        np.concatenate([ps2, ps3]),
+                        np.concatenate([key2, key3]),
+                        rejected_keys, resolved, accepted_records, cfg,
+                    )
 
         with self.timer.phase("render"):
             accepted_records.sort(key=lambda a: a.qread)
