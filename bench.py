@@ -92,6 +92,62 @@ def check_parity(eng, q, res, qc, dbc) -> str:
     return "byte-identical"
 
 
+def sweep_bench(base: np.ndarray) -> dict:
+    """All-vs-all sample-pairs/hour (the reference driver's unit of work:
+    one unordered sample pair = forward + revcomp runs,
+    bin/all_vs_all_metagenomes_IMSAME.sh:27-58).  Four 20k-read samples
+    sharing ~half their content run through the production orchestrator
+    (engine LRU + per-sample index cache + report rendering); read
+    shapes match the warmed compare, so this measures steady-state
+    sweep throughput, not compiles."""
+    import tempfile
+    from pathlib import Path
+
+    from imsame_tpu.orchestrator import AllVsAllRunner, list_samples
+
+    chars = np.frombuffer(b"ACGT", np.uint8)
+    rng = np.random.default_rng(777)
+    n, L = base.shape
+    with tempfile.TemporaryDirectory() as td:
+        td = Path(td)
+        sdir = td / "samples"
+        sdir.mkdir()
+        for s in range(4):
+            if s == 0:
+                mat = base
+            else:
+                nm = n // 2
+                mut = base[:nm].copy()
+                mask = rng.random(mut.shape) < 0.04
+                mut[mask] = (
+                    mut[mask]
+                    + rng.integers(1, 4, int(mask.sum()), dtype=np.uint8)
+                ) % 4
+                mat = np.concatenate(
+                    [mut, rng.integers(0, 4, (n - nm, L), dtype=np.uint8)]
+                )
+                mat = mat[rng.permutation(n)]
+            with open(sdir / f"s{s}.fasta", "wb") as f:
+                for i in range(n):
+                    f.write(b">r%d\n" % i)
+                    f.write(chars[mat[i]].tobytes())
+                    f.write(b"\n")
+        samples = list_samples(str(sdir), "fasta")
+        runner = AllVsAllRunner(str(td / "out"))
+        t0 = time.perf_counter()
+        stats = runner.run(samples)
+        dt = time.perf_counter() - t0
+        n_pairs = len(samples) * (len(samples) - 1) // 2
+        return {
+            "metric": "all-vs-all sample pairs/hour "
+            "(4 x 20k-read samples, fwd+rev, reports written)",
+            "pairs": n_pairs,
+            "jobs": len(stats),
+            "wall_seconds": round(dt, 2),
+            "pairs_per_hour": round(3600.0 * n_pairs / dt, 1),
+        }
+
+
 def roofline(res, timings) -> dict:
     """NW-phase GCUPS vs an estimated VPU int32 roofline (VERDICT item 4).
 
@@ -174,6 +230,12 @@ def main() -> int:
     if os.environ.get("IMSAME_BENCH_PARITY", "1") != "0":
         parity = check_parity(eng, q, res, qc, dbc)
 
+    # All-vs-all sweep throughput (north-star metric 3); runs after the
+    # timed sections so it never perturbs them.
+    sweep = None
+    if os.environ.get("IMSAME_BENCH_SWEEP", "1") != "0":
+        sweep = sweep_bench(qc)
+
     # Scaling efficiency (VERDICT item 7): measured separately on the
     # 8-virtual-device CPU mesh by bench_scaling.py; its last saved result
     # rides along so the driver captures an efficiency number every round.
@@ -225,6 +287,7 @@ def main() -> int:
             **roofline(res, timings),
             "align_seconds_runs": [round(t, 3) for t, _, _ in runs],
             **({"parity": parity} if parity is not None else {}),
+            **({"sweep": sweep} if sweep is not None else {}),
             **({"scaling": scaling} if scaling is not None else {}),
             "timings": {k: round(v, 3) for k, v in timings.items()},
         },

@@ -138,28 +138,35 @@ class KmerIndex:
 def save_index(idx: KmerIndex, path: str) -> None:
     """Persist the sorted index (SURVEY.md 5.4: the reference rebuilds its
     dictionary from FASTA every run; device-friendly flat arrays serialize
-    trivially, making per-sample index reuse an orchestrator-level win)."""
-    extra = {} if idx.packed is None else {"packed": idx.packed}
-    np.savez_compressed(
-        path,
-        keys=idx.keys,
-        pos=idx.pos,
-        sid=idx.sid,
+    trivially, making per-sample index reuse an orchestrator-level win).
+
+    Compact uncompressed form: in the packed regime only (packed, keys)
+    hit disk (~8 B/entry); pos/sid stay lazy and bucket_start is a
+    ~100 ms bincount on load.  savez_compressed here cost 9 s per 5 Mbp
+    sample -- 40x the 0.23 s rebuild the cache exists to skip."""
+    meta = dict(
         db_total_len=np.int64(idx.db_total_len),
         db_n_seqs=np.int64(idx.db_n_seqs),
-        **extra,
     )
+    if idx.packed is not None:
+        np.savez(path, packed=idx.packed, keys=idx.keys, **meta)
+    else:
+        np.savez(path, keys=idx.keys, pos=idx.pos, sid=idx.sid, **meta)
 
 
-def load_index(path: str) -> KmerIndex:
+def load_index(path: str, db_start: np.ndarray = None) -> KmerIndex:
+    """Reload a saved index.  ``db_start`` (the sample's read offsets)
+    enables the lazy ``pos`` derivation of packed-regime indexes."""
     with np.load(path) as z:
+        packed = z["packed"] if "packed" in z.files else None
         return KmerIndex(
             keys=z["keys"],
-            pos=z["pos"],
-            sid=z["sid"],
+            pos=z["pos"] if "pos" in z.files else None,
+            sid=z["sid"] if "sid" in z.files else None,
             db_total_len=int(z["db_total_len"]),
             db_n_seqs=int(z["db_n_seqs"]),
-            packed=z["packed"] if "packed" in z.files else None,
+            packed=packed,
+            db_start=db_start,
         )
 
 

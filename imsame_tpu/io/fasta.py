@@ -102,7 +102,12 @@ class SeqInfo:
 
 
 def parse_fasta_bytes(data: bytes) -> SeqInfo:
-    """Parse FASTA content into a SeqInfo, reproducing reference ingest."""
+    """Parse FASTA content into a SeqInfo, reproducing reference ingest.
+
+    Line-oriented vectorization: all per-element work runs over the ~line
+    count (newline positions) except one index expansion + gather for the
+    sequence bytes themselves -- the earlier per-BYTE formulation spent
+    seconds in 20M-element bool cumsums on a 5 Mbp sample."""
     raw = np.frombuffer(data, dtype=np.uint8)
     n = len(raw)
     if n == 0:
@@ -113,52 +118,55 @@ def parse_fasta_bytes(data: bytes) -> SeqInfo:
             headers=[],
         )
 
-    nl = raw == _NL
-    # Line id per byte (0-based); a line starts after each newline.
-    line_id = np.zeros(n, dtype=np.int64)
-    np.cumsum(nl[:-1], out=line_id[1:])
-    line_start_pos = np.flatnonzero(
-        np.concatenate([np.ones(1, bool), nl[:-1]])
-    )
-    header_line = raw[line_start_pos] == _GT
-    in_header = header_line[line_id]
+    nl_pos = np.flatnonzero(raw == _NL).astype(np.int64)
+    starts = np.concatenate([np.zeros(1, np.int64), nl_pos + 1])
+    ends = np.append(nl_pos, n)  # same length as starts
+    header = raw[np.minimum(starts, n - 1)] == _GT
+    header &= starts < n  # a trailing newline yields one empty pseudo-line
+    line_read = np.cumsum(header) - 1  # -1 before the first '>'
 
-    seq_byte = ~in_header & ~nl
-    codes = _CODE_LUT[raw]
-    valid = seq_byte & (codes != 255)
+    seq_line = ~header & (line_read >= 0) & (ends > starts)
+    s_starts = starts[seq_line]
+    s_lens = ends[seq_line] - s_starts
+    tot = int(s_lens.sum())
+    cum = np.zeros(len(s_lens), np.int64)
+    np.cumsum(s_lens[:-1], out=cum[1:])
+    idx = np.repeat(s_starts - cum, s_lens) + np.arange(tot, dtype=np.int64)
+    codes_all = _CODE_LUT[raw[idx]]
+    byte_read = np.repeat(line_read[seq_line], s_lens)
 
-    # Read id per byte: count of header lines started at or before the byte.
-    is_header_start = np.zeros(n, bool)
-    is_header_start[line_start_pos[header_line]] = True
-    read_id = np.cumsum(is_header_start) - 1  # -1 before first '>'
+    # Window-reset events: dropped non-ACGT bytes inside a read's sequence
+    # region (reference: src/IMSAME.c:229-231).  Newlines never appear
+    # here (lines exclude them), matching the reference's non-reset walk
+    # over line breaks.
+    invalid = codes_all == 255
+    if invalid.any():
+        kept = ~invalid
+        concat_codes = codes_all[kept]
+        concat_read = byte_read[kept]
+        kres = np.cumsum(invalid)[kept]
+        m = len(concat_codes)
+        fresh = np.empty(m, bool)
+        if m:
+            fresh[0] = True
+            fresh[1:] = (concat_read[1:] != concat_read[:-1]) | (
+                kres[1:] != kres[:-1]
+            )
+    else:
+        concat_codes = codes_all
+        concat_read = byte_read
+        fresh = np.empty(tot, bool)
+        if tot:
+            fresh[0] = True
+            fresh[1:] = concat_read[1:] != concat_read[:-1]
 
-    keep = valid & (read_id >= 0)
-    kept_pos = np.flatnonzero(keep)
-    concat_codes = codes[kept_pos]
-    concat_read = read_id[kept_pos]
-
-    n_reads = int(header_line.sum())
+    n_reads = int(header.sum())
     start = np.searchsorted(concat_read, np.arange(n_reads)).astype(np.int64)
 
-    # Window-reset events: dropped non-newline bytes inside a read's
-    # sequence region (reference: src/IMSAME.c:229-231).
-    reset_evt = seq_byte & (codes == 255)
-    cumreset = np.cumsum(reset_evt)
-    m = len(kept_pos)
-    fresh = np.empty(m, bool)
-    if m:
-        fresh[0] = True
-        fresh[1:] = (concat_read[1:] != concat_read[:-1]) | (
-            cumreset[kept_pos[1:]] != cumreset[kept_pos[:-1]]
-        )
-
-    headers: List[bytes] = []
-    hdr_starts = line_start_pos[header_line]
-    for p in hdr_starts:
-        e = p
-        while e < n and raw[e] != _NL:
-            e += 1
-        headers.append(bytes(raw[p + 1 : e]))
+    headers: List[bytes] = [
+        data[int(p) + 1 : int(e)]
+        for p, e in zip(starts[header], ends[header])
+    ]
 
     return SeqInfo(codes=concat_codes, start=start, fresh=fresh, headers=headers)
 

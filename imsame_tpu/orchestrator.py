@@ -20,6 +20,7 @@ import collections
 import dataclasses
 import json
 import os
+import threading
 import time
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -94,6 +95,7 @@ class AllVsAllRunner:
         self._queries: "collections.OrderedDict[str, SeqInfo]" = (
             collections.OrderedDict()
         )
+        self._save_threads: List[threading.Thread] = []
 
     def _load_query(self, job: PairJob) -> SeqInfo:
         q = self._queries.get(job.qname)
@@ -116,7 +118,7 @@ class AllVsAllRunner:
         path = cache_dir / f"{key[0]}{'.r' if key[1] else ''}.npz"
         if path.exists():
             try:
-                idx = load_index(str(path))
+                idx = load_index(str(path), db_start=db.start)
                 if (
                     idx.db_total_len == db.total_len
                     and idx.db_n_seqs == db.n_seqs
@@ -125,9 +127,22 @@ class AllVsAllRunner:
             except Exception:
                 pass  # corrupt/stale cache entry: rebuild below
         idx = build_index(db)
-        tmp = path.with_suffix(".npz.tmp.npz")
-        save_index(idx, str(tmp))
-        os.replace(tmp, path)
+        # Cache write off the critical path: the save only pays off on a
+        # RESUMED sweep, so it runs in a background thread (numpy I/O
+        # releases the GIL); the atomic rename keeps partial writes
+        # invisible to readers.
+        tmp = path.with_suffix(f".tmp{os.getpid()}.npz")
+
+        def _persist():
+            try:
+                save_index(idx, str(tmp))
+                os.replace(tmp, path)
+            except OSError:
+                pass  # cache miss next run; never fails the sweep
+
+        t = threading.Thread(target=_persist, daemon=True)
+        t.start()
+        self._save_threads.append(t)
         return idx
 
     def _engine_for(self, job: PairJob) -> TpuEngine:
@@ -201,6 +216,9 @@ class AllVsAllRunner:
             fp = self.outdir / f"failures.host{self.host_id}.json"
             fp.write_text(json.dumps(failures, indent=1))
         self.failures = failures
+        for t in self._save_threads:  # let cache writes land before exit
+            t.join(timeout=60)
+        self._save_threads.clear()
         return stats
 
 

@@ -80,7 +80,7 @@ def test_index_save_load(tmp_path):
     idx = build_index(si)
     p = tmp_path / "idx.npz"
     save_index(idx, str(p))
-    idx2 = load_index(str(p))
+    idx2 = load_index(str(p), db_start=si.start)
     np.testing.assert_array_equal(idx.keys, idx2.keys)
     np.testing.assert_array_equal(idx.pos, idx2.pos)
     np.testing.assert_array_equal(idx.sid, idx2.sid)
