@@ -148,7 +148,41 @@ def sweep_bench(base: np.ndarray) -> dict:
         }
 
 
-def roofline(res, timings) -> dict:
+def nw_kernel_gcups(eng, n_reads: int) -> float:
+    """Dedicated stats-kernel throughput (GCUPS over real cells), timed
+    with a host fetch as the sync (block_until_ready does not block on
+    the axon backend).  The pipeline's resolve.nw wall now overlaps gate
+    fetches, so it under-reports the kernel itself."""
+    import jax
+    import jax.numpy as jnp
+
+    from imsame_tpu.ops.resolve import nw_stats_rows
+
+    d_qp, d_dp, d_qlen, d_dlen = eng._last_dev
+    rng = np.random.default_rng(9)
+    B = 8192
+    rs = jnp.asarray(
+        np.stack(
+            [
+                rng.integers(0, n_reads, B).astype(np.int32),
+                rng.integers(0, n_reads, B).astype(np.int32),
+            ]
+        )
+    )
+    run = lambda: nw_stats_rows(
+        d_qp, d_dp, rs, d_qlen, d_dlen, eng.cfg.igap, eng.cfg.egap,
+        max_len=256, use_pallas=eng._use_pallas, pipe=eng.cfg.nw_pipe,
+    )
+    np.asarray(run())  # warm
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = run()
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / 3
+    return round(B * 250 * 250 / dt / 1e9, 2)
+
+
+def roofline(res, timings, kernel_gcups=None) -> dict:
     """NW-phase GCUPS vs an estimated VPU int32 roofline (VERDICT item 4).
 
     The wavefront kernel is VPU-bound int32 work: ~50 vector ops per DP
@@ -164,14 +198,16 @@ def roofline(res, timings) -> dict:
         return {}
     gcups_nw = res.nw_cells / nw_wall / 1e9
     backend = jax.default_backend()
+    gk = kernel_gcups if kernel_gcups is not None else gcups_nw
     out = {
         "nw_phase_gcups": round(gcups_nw, 3),
+        **({"nw_kernel_gcups": kernel_gcups} if kernel_gcups else {}),
         "roofline": {
             "backend": backend,
             "ops_per_cell_est": 50,
             "vpu_peak_int32_ops_per_s": 3.85e12 if backend == "tpu" else None,
             "peak_gcups_est": 77.0 if backend == "tpu" else None,
-            "utilization_pct": round(100 * gcups_nw / 77.0, 1)
+            "utilization_pct": round(100 * gk / 77.0, 1)
             if backend == "tpu"
             else None,
         },
@@ -226,6 +262,13 @@ def main() -> int:
     # Byte-parity vs the compiled reference at bench scale (SURVEY.md 4.1)
     # -- on by default (IMSAME_BENCH_PARITY=0 disables); runs after the
     # timed section so it never perturbs the measurement.
+    # Dedicated stats-kernel throughput (after the timed sections).
+    kgc = None
+    try:
+        kgc = nw_kernel_gcups(eng, n_reads)
+    except Exception:
+        pass
+
     parity = None
     if os.environ.get("IMSAME_BENCH_PARITY", "1") != "0":
         parity = check_parity(eng, q, res, qc, dbc)
@@ -284,7 +327,7 @@ def main() -> int:
             "reads_per_s_incl_render": round(
                 n_reads / (t_align + t_render), 1
             ),
-            **roofline(res, timings),
+            **roofline(res, timings, kernel_gcups=kgc),
             "align_seconds_runs": [round(t, 3) for t, _, _ in runs],
             **({"parity": parity} if parity is not None else {}),
             **({"sweep": sweep} if sweep is not None else {}),

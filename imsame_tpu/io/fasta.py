@@ -104,10 +104,38 @@ class SeqInfo:
 def parse_fasta_bytes(data: bytes) -> SeqInfo:
     """Parse FASTA content into a SeqInfo, reproducing reference ingest.
 
-    Line-oriented vectorization: all per-element work runs over the ~line
-    count (newline positions) except one index expansion + gather for the
-    sequence bytes themselves -- the earlier per-BYTE formulation spent
-    seconds in 20M-element bool cumsums on a 5 Mbp sample."""
+    Dispatches to the native single-pass parser (native/host.c
+    imsame_parse_fasta) when available; the numpy path below is the
+    bit-identical fallback (tests/test_fasta.py compares them)."""
+    from .. import native
+
+    if len(data) >= (1 << 12) and native.lib is not None:
+        res = native.parse_fasta_arrays(data, _CODE_LUT)
+        if res is not None:
+            codes, fresh_u8, start, hdr_se, n_reads = res
+            m = len(codes)
+            # base-less reads take the next read's start (searchsorted
+            # semantics of the numpy path); trailing ones take m.
+            if (start < 0).any():
+                t = np.where(start < 0, np.int64(m), start)
+                start = np.minimum.accumulate(t[::-1])[::-1]
+            headers = [
+                data[int(hdr_se[2 * i]) : int(hdr_se[2 * i + 1])]
+                for i in range(n_reads)
+            ]
+            return SeqInfo(
+                codes=codes,
+                start=start.astype(np.int64),
+                fresh=fresh_u8.astype(bool),
+                headers=headers,
+            )
+    return _parse_fasta_bytes_np(data)
+
+
+def _parse_fasta_bytes_np(data: bytes) -> SeqInfo:
+    """Numpy fallback parse (line-oriented vectorization: all per-element
+    work runs over the ~line count except one index-expansion gather for
+    the sequence bytes)."""
     raw = np.frombuffer(data, dtype=np.uint8)
     n = len(raw)
     if n == 0:

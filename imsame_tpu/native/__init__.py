@@ -60,6 +60,12 @@ def _load():
         ctypes.c_int64, ctypes.c_int32, i32, u32, ctypes.c_int32, i32, i32,
     ]
 
+    lib.imsame_parse_fasta.restype = ctypes.c_int64
+    lib.imsame_parse_fasta.argtypes = [
+        i8, ctypes.c_int64, i8, i8, i8, i64, i64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+
     lib.imsame_kmer_stream.restype = None
     lib.imsame_kmer_stream.argtypes = [
         i8, i64, i64, ctypes.c_int64, ctypes.c_int32, i32, i64, i32, i32, i64,
@@ -121,6 +127,28 @@ def build_index_arrays(codes, fresh, start, k: int, packable: bool):
     if packable:
         return bucket_start, packed[:t], None, None
     return bucket_start, None, pos[:t], sid[:t]
+
+
+def parse_fasta_arrays(data: bytes, lut):
+    """Single-pass FASTA ingest.  Returns (codes, fresh, start, hdr_se,
+    n_reads) with start[r] == -1 for base-less reads (caller back-fills),
+    or None if the native lib is unavailable."""
+    if lib is None:
+        return None
+    raw = np.frombuffer(data, np.uint8)
+    n = len(raw)
+    cap_reads = max(data.count(b">"), 1)  # upper bound: every '>' byte
+    codes = np.empty(max(n, 1), np.uint8)
+    fresh = np.empty(max(n, 1), np.uint8)
+    start = np.empty(cap_reads, np.int64)
+    hdr_se = np.empty(2 * cap_reads, np.int64)
+    n_reads = ctypes.c_int64(0)
+    m = lib.imsame_parse_fasta(
+        raw, n, np.ascontiguousarray(lut, np.uint8),
+        codes, fresh, start, hdr_se, ctypes.byref(n_reads),
+    )
+    nr = int(n_reads.value)
+    return codes[:m], fresh[:m], start[:nr], hdr_se[: 2 * nr], nr
 
 
 def kmer_stream_arrays(codes, qlo, n_kmers, k: int, bucket_start):

@@ -365,6 +365,72 @@ EXPORT int32_t imsame_render_blocks(
     return 0;
 }
 
+/* ------------------------------------------------------------------ *
+ * FASTA ingest: one pass replicating io/fasta.py parse semantics
+ * (reference ingest, src/IMSAME.c:196-289): header lines ('>' at line
+ * start) delimit reads; every other byte after the first header maps
+ * through ``lut`` (A/C/G/T upper+lower -> 0..3, else 255); 255 bytes are
+ * dropped and set a window-reset flag on the next kept base (reference
+ * src/IMSAME.c:229-231); newlines neither reset nor emit.
+ *
+ * Outputs (caller-allocated): codes/fresh sized >= n; start sized >= the
+ * number of '>' bytes in the input (upper bound on reads); hdr_se holds
+ * (text_start, text_end) byte offsets per header.  start[r] is -1 for
+ * reads with no kept bases (caller back-fills with the next read's
+ * start, matching the numpy searchsorted semantics).  Returns the kept
+ * base count; read count via n_reads_out.
+ * ------------------------------------------------------------------ */
+EXPORT int64_t imsame_parse_fasta(
+    const uint8_t *raw, int64_t n, const uint8_t *lut,
+    uint8_t *codes, uint8_t *fresh,
+    int64_t *start, int64_t *hdr_se, int64_t *n_reads_out) {
+    int64_t m = 0;
+    int64_t r = -1;
+    int in_header = 0;
+    int at_line_start = 1;
+    int pending_fresh = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = raw[i];
+        if (c == '\n') {
+            if (in_header) {
+                hdr_se[2 * r + 1] = i;
+                in_header = 0;
+            }
+            at_line_start = 1;
+            continue;
+        }
+        if (at_line_start) {
+            at_line_start = 0;
+            if (c == '>') {
+                r++;
+                start[r] = -1;
+                hdr_se[2 * r] = i + 1;
+                hdr_se[2 * r + 1] = n; /* header at EOF without newline */
+                in_header = 1;
+                pending_fresh = 0;
+                continue;
+            }
+        }
+        if (in_header || r < 0) continue;
+        uint8_t code = lut[c];
+        if (code == 255) {
+            pending_fresh = 1;
+            continue;
+        }
+        if (start[r] < 0) {
+            start[r] = m;
+            fresh[m] = 1; /* first base of a read always restarts */
+        } else {
+            fresh[m] = (uint8_t)pending_fresh;
+        }
+        pending_fresh = 0;
+        codes[m] = code;
+        m++;
+    }
+    *n_reads_out = r + 1;
+    return m;
+}
+
 /* Query candidate-stream tables: fused rolling key + bucket lookup + prefix
  * sum (the numpy path needs five multi-megabyte temporaries and two random
  * gathers into the 67 MB prefix table).

@@ -92,3 +92,47 @@ def test_revcomp_roundtrip_file(tmp_path: Path):
     txt = out.read_bytes()
     # reverse file order; revcomp; U->A
     assert txt == b">h2\nggcc\n>h1 desc\nAACGT\n"
+
+
+def test_native_parse_matches_numpy():
+    """The native single-pass parser must agree with the numpy fallback on
+    tricky inputs: multi-line reads, lowercase, invalid chars (window
+    resets), empty reads, '>' mid-line, missing trailing newline."""
+    import numpy as np
+
+    from imsame_tpu import native
+    from imsame_tpu.io.fasta import _parse_fasta_bytes_np, parse_fasta_bytes
+
+    if native.lib is None:
+        import pytest
+
+        pytest.skip("native host library unavailable")
+
+    cases = [
+        b">r0\nACGTacgt\nGGTT\n>r1\nNNACGT\n>empty\n>r2\nAC>GT\nTTTT",
+        b">a\n" + b"ACGT" * 2000 + b"\n>b\n" + b"acgtNNNNacgt" * 300,
+        b"junk before\n>x\nACGT\n\n>y no newline at eof\nTTTT",
+        b">only header, no seq",
+        b"",
+        b">m\n" + b"AC\n" * 500 + b">n\nG",
+    ]
+    from imsame_tpu.io.fasta import _CODE_LUT
+
+    for data in cases:
+        a = _parse_fasta_bytes_np(data)
+        big = data
+        res = native.parse_fasta_arrays(big, _CODE_LUT)
+        assert res is not None
+        codes, fresh_u8, start, hdr_se, n_reads = res
+        m = len(codes)
+        if len(start) and (start < 0).any():
+            t = np.where(start < 0, np.int64(m), start)
+            start = np.minimum.accumulate(t[::-1])[::-1]
+        np.testing.assert_array_equal(codes, a.codes)
+        np.testing.assert_array_equal(fresh_u8.astype(bool), a.fresh)
+        np.testing.assert_array_equal(start, a.start)
+        headers = [
+            big[int(hdr_se[2 * i]) : int(hdr_se[2 * i + 1])]
+            for i in range(n_reads)
+        ]
+        assert headers == a.headers
