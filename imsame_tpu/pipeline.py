@@ -45,7 +45,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -131,6 +131,38 @@ def _pad_pow2_1d(
     out = np.full(p, fill, a.dtype)
     out[:n] = a
     return out
+
+
+class _KeySet:
+    """Sorted-array membership set for pair keys (read * n_db + sid).
+
+    The judge path tests hundreds of thousands of candidate keys against
+    the rejected-pair set per compare; a Python int set costs a per-key
+    interpreter hop (~1 s at 100k-read scale), while a sorted array +
+    searchsorted is one vectorized pass."""
+
+    def __init__(self):
+        self._arr = np.empty(0, np.int64)
+        self._pend: List[np.ndarray] = []
+
+    def add(self, keys: np.ndarray) -> None:
+        if len(keys):
+            self._pend.append(np.asarray(keys, np.int64))
+
+    def _materialize(self) -> np.ndarray:
+        if self._pend:
+            self._arr = np.unique(
+                np.concatenate([self._arr] + self._pend)
+            )
+            self._pend = []
+        return self._arr
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        a = self._materialize()
+        if not len(a) or not len(keys):
+            return np.zeros(len(keys), bool)
+        i = np.minimum(np.searchsorted(a, keys), len(a) - 1)
+        return a[i] == keys
 
 
 class TpuEngine:
@@ -889,16 +921,21 @@ class TpuEngine:
             self.cfg.igap, self.cfg.egap,
         )
 
-    def _dedup_pairs(self, pass_r, pass_sid, rejected_keys):
-        """Unique not-yet-rejected (read, db read) pairs in stream order of
-        first occurrence, plus the per-candidate pair-key array."""
+    def _dedup_pairs(self, pass_r, pass_sid, rejected_keys, extra=None):
+        """Unique (read, db read) pairs in stream order of first
+        occurrence -- excluding already-rejected pairs and the optional
+        ``extra`` key array (pairs another in-flight wave already covers)
+        -- plus the per-candidate pair-key array."""
         n_db = max(self.db.n_seqs, 1)
         key = pass_r.astype(np.int64) * n_db + pass_sid
         _, first_idx = np.unique(key, return_index=True)
         first_idx.sort()
         ck = key[first_idx]
-        if rejected_keys:
-            fresh = np.array([k not in rejected_keys for k in ck], bool)
+        if len(ck):
+            stale = rejected_keys.contains(ck)
+            if extra is not None and len(extra):
+                stale |= np.isin(ck, extra)
+            fresh = ~stale
             first_idx, ck = first_idx[fresh], ck[fresh]
         return (
             pass_r[first_idx].astype(np.int64),
@@ -923,7 +960,7 @@ class TpuEngine:
         ok = (length >= cfg.min_coverage * ylen) & (
             idents >= cfg.min_identity * length
         )
-        rejected_keys.update(int(k) for k in ck[~ok])
+        rejected_keys.add(ck[~ok])
         acc_rows = np.flatnonzero(ok)
         if not len(acc_rows):
             return
@@ -1015,7 +1052,7 @@ class TpuEngine:
         N_r = (C_off[1:] - C_off[:-1]) if n else np.empty(0, np.int64)
 
         resolved = np.zeros(n, bool)
-        rejected_keys: Set[int] = set()
+        rejected_keys = _KeySet()
         accepted_records: List[AcceptedRead] = []
 
         if idx.n_entries and n and Ccum[-1]:
@@ -1299,7 +1336,7 @@ class TpuEngine:
                             N_r[leftover],
                         )
                 cr3, cs3, ck3, key3 = self._dedup_pairs(
-                    pr3, ps3, rejected_keys.union(int(k) for k in ck2)
+                    pr3, ps3, rejected_keys, extra=ck2
                 )
                 with self.timer.phase("resolve.nw"):
                     P3, pend3 = self._nw_dispatch_pairs(
