@@ -238,12 +238,12 @@ def main() -> int:
     # render below.
     eng.render_report(q, eng.compare(q))
 
-    # Best of three timed runs: the TPU sits behind a tunnel whose latency/
+    # Best of five timed runs: the TPU sits behind a tunnel whose latency/
     # bandwidth vary ~3x between runs (and the host VM is intermittently
     # contended); the best run is the least noise-contaminated estimate
     # of the engine's throughput.
     runs = []
-    for _ in range(3):
+    for _ in range(int(os.environ.get("IMSAME_BENCH_RUNS", "5"))):
         eng.timer.reset()
         t1 = time.perf_counter()
         res = eng.compare(q)
