@@ -1160,10 +1160,12 @@ def nw_stats_batch_pallas_pipe(
     K = PIPE_K
     assert L == max_len and L % 128 == 0
     assert B % (BBLK * K) == 0, (B, BBLK, K)
-    assert L % UNROLL2 == 0
+    # The v1 pipe kernel steps by UNROLL; its feed/grid layout must match
+    # (UNROLL2 is the v2 kernel's independent knob -- do not mix them).
+    assert L % UNROLL == 0
     R = B // K  # sublane rows; row r streams pairs r*K .. r*K+K-1
     NS = (K + 1) * L  # total steps (pair K-1 ends at (K+1)L - 2)
-    n_grid = NS // UNROLL2
+    n_grid = NS // UNROLL
     grid = (R // BBLK, n_grid)
 
     Xi = X.astype(jnp.int32)
@@ -1172,12 +1174,12 @@ def nw_stats_batch_pallas_pipe(
     yl = ylen.astype(jnp.int32)
 
     # Per-row feed streams: entry d of row r belongs to pair r*K + d//L.
-    # Laid out (n_grid, R, UNROLL2) so each grid step's feed is one legal
-    # (1, BBLK, UNROLL2) VMEM block (last dim equals the overall dim; a
-    # (BBLK, UNROLL2) window of a (R, NS) array is an illegal sub-(8,128)
+    # Laid out (n_grid, R, UNROLL) so each grid step's feed is one legal
+    # (1, BBLK, UNROLL) VMEM block (last dim equals the overall dim; a
+    # (BBLK, UNROLL) window of a (R, NS) array is an illegal sub-(8,128)
     # tile on real Mosaic).
     padL = jnp.zeros((R, L), jnp.int32)
-    g3 = lambda a: a.reshape(R, n_grid, UNROLL2).transpose(1, 0, 2)
+    g3 = lambda a: a.reshape(R, n_grid, UNROLL).transpose(1, 0, 2)
     fx = g3(jnp.concatenate([Xi.reshape(R, K * L), padL], axis=1))
     fy = g3(jnp.concatenate([Yi.reshape(R, K * L), padL], axis=1))
     rep = lambda v: jnp.repeat(v.reshape(R, K), L, axis=1)
@@ -1198,7 +1200,7 @@ def nw_stats_batch_pallas_pipe(
     )
     smem11 = pl.BlockSpec((1, 1), lambda b, g: (0, 0), memory_space=pltpu.SMEM)
     feedU = lambda: pl.BlockSpec(
-        (1, BBLK, UNROLL2), lambda b, g: (g, b, 0), memory_space=pltpu.VMEM
+        (1, BBLK, UNROLL), lambda b, g: (g, b, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (BBLK, K), lambda b, g: (b, 0), memory_space=pltpu.VMEM
@@ -1244,8 +1246,8 @@ def nw_stats_batch_pallas(
 ) -> NWStatsResult:
     B, L = X.shape
     assert L == max_len and L % 128 == 0 and B % BBLK == 0
-    NDP = 2 * L  # padded diagonal count (multiple of UNROLL2)
-    grid = (B // BBLK, NDP // UNROLL2)
+    NDP = 2 * L  # padded diagonal count (multiple of UNROLL)
+    grid = (B // BBLK, NDP // UNROLL)
 
     kernel = _make_nw_stats_kernel(L)
     scr = [pltpu.VMEM((BBLK, L), jnp.int32)] * 16 + [

@@ -20,6 +20,7 @@ import collections
 import dataclasses
 import json
 import os
+import tempfile
 import threading
 import time
 from pathlib import Path
@@ -131,14 +132,24 @@ class AllVsAllRunner:
         # RESUMED sweep, so it runs in a background thread (numpy I/O
         # releases the GIL); the atomic rename keeps partial writes
         # invisible to readers.
-        tmp = path.with_suffix(f".tmp{os.getpid()}.npz")
+        # Unique per save: a rebuild after LRU eviction may overlap an
+        # earlier save thread for the same key, and two writers on one tmp
+        # path would rename a corrupt cache entry.
+        fd, tmp = tempfile.mkstemp(
+            prefix=path.stem + ".tmp", suffix=".npz", dir=cache_dir
+        )
+        os.close(fd)
 
         def _persist():
             try:
-                save_index(idx, str(tmp))
+                save_index(idx, tmp)
                 os.replace(tmp, path)
-            except OSError:
-                pass  # cache miss next run; never fails the sweep
+            except Exception:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                # cache miss next run; never fails the sweep
 
         t = threading.Thread(target=_persist, daemon=True)
         t.start()

@@ -1050,6 +1050,11 @@ class TpuEngine:
         with self.timer.phase("kmer_stream"):
             kp, K_off, lo, cnt, Ccum, C_off = self._kmer_stream(q)
         N_r = (C_off[1:] - C_off[:-1]) if n else np.empty(0, np.int64)
+        if use_enum and n and int(Ccum[-1]) >= 2**31:
+            # The device enumeration ranks candidates with an int32 cumsum
+            # (ops/enum_gate.py enum_select_prefix); a compare whose total
+            # candidate count overflows int32 must take the host gate.
+            use_enum = False
 
         resolved = np.zeros(n, bool)
         rejected_keys = _KeySet()
