@@ -62,6 +62,12 @@ class Config:
     # so 2048 pairs ~= 1 GB HBM.
     nw_stats_batches: tuple = (8192, 4096, 2048, 1024, 512, 256)
     nw_render_batches: tuple = (2048, 1024, 512, 256)
+    # HBM budget for one render chunk's backpointer tensor ([B, 2L, L]
+    # int32 = 8*L^2 bytes/pair: ~0.5 MB at the 256 bucket but ~75 MB at
+    # 3072).  The render ladder is capped per length bucket so B*8*L^2
+    # stays under this; long-read chunks shrink to e.g. 24 pairs at 3072
+    # instead of OOMing a 16 GB chip.
+    nw_render_bp_budget: int = 2 << 30
     # Length buckets (reads padded up to the smallest bucket >= their len).
     length_buckets: tuple = (128, 256, 512, 1024, 2048, 3072)
     # Use the Pallas NW kernel when on TPU; fall back to pure-jnp otherwise.

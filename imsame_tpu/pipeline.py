@@ -438,9 +438,26 @@ class TpuEngine:
                 return b
         raise ValueError("Read size reached for gapped alignment.")
 
+    def _render_sizes(self, L: int) -> tuple:
+        """Render ladder for length bucket L: the configured ladder capped
+        so one chunk's bp tensor (8*L^2 bytes/pair) fits the budget *per
+        device* (the pair batch shards over every mesh device).  At the
+        3072 bucket even the smallest configured size (256 pairs) would be
+        ~19 GB single-chip, so large-L ladders collapse to (cap, gran)
+        with gran the kernel's 8-pair sublane block times the mesh size."""
+        n_dev = 1 if self._mesh is None else int(self._mesh.devices.size)
+        gran = 8 * n_dev
+        cap = int(self.cfg.nw_render_bp_budget * n_dev // (8 * L * L))
+        cap = max(gran, (cap // gran) * gran)
+        sizes = tuple(b for b in self.cfg.nw_render_batches if b <= cap)
+        if not sizes:
+            sizes = (cap,) if cap == gran else (cap, gran)
+        return sizes
+
     def _nw_chunks(
         self, r_ids: np.ndarray, sids: np.ndarray, qlens: np.ndarray,
-        sizes: tuple,
+        sizes: tuple = None,
+        render: bool = False,
     ):
         """Split pairs into fixed-shape padded chunks bucketed by length.
 
@@ -450,7 +467,9 @@ class TpuEngine:
         trip, so chunks pad up to the smallest ladder size that covers the
         remainder (padding compute is nearly free on the wavefront
         kernels; the stats ladder therefore tops out much higher than the
-        render ladder, whose bp tensor costs ~0.5 MB/pair of HBM)."""
+        render ladder, whose bp tensor costs 8*L^2 bytes/pair of HBM).
+        With ``render=True`` the ladder is re-derived per length bucket
+        (see _render_sizes)."""
         P = len(r_ids)
         xls = self.db_read_lens[sids]
         yls = qlens[r_ids]
@@ -462,11 +481,12 @@ class TpuEngine:
             if P else np.empty(0, np.int64)
         for L in np.unique(buckets):
             idxs = np.flatnonzero(buckets == L)
+            lsizes = self._render_sizes(int(L)) if render else sizes
             pos = 0
             while pos < len(idxs):
                 rem = len(idxs) - pos
-                B = sizes[0]
-                for z in sizes[1:]:
+                B = lsizes[0]
+                for z in lsizes[1:]:
                     if z >= rem:
                         B = z
                 chunk = idxs[pos : pos + min(rem, B)]
@@ -1393,7 +1413,7 @@ class TpuEngine:
         saved_cells = self._nw_cells  # render work isn't compare GCUPS
         pending = []
         for chunk, rpad, spad, L in self._nw_chunks(
-            r_ids, sids, qlens, self.cfg.nw_render_batches
+            r_ids, sids, qlens, render=True
         ):
             res = self._nw_render_dispatch(
                 d_qp, d_dp, np.stack([rpad, spad]), d_qlen, d_dlen, L
