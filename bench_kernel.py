@@ -286,6 +286,10 @@ def run_variant(name, kernel_override, B, L, reps):
     orig = nwp._make_nw_stats_pipe2_kernel
     if kernel_override is not None:
         nwp._make_nw_stats_pipe2_kernel = lambda ml: kernel_override
+    # the wrapper is jit-cached on shapes only: clear it so the variant
+    # kernel actually compiles (a cache hit would silently re-time the
+    # previously built kernel)
+    nwp.nw_stats_batch_pallas_pipe2._clear_cache()
     try:
         fn = nwp.nw_stats_batch_pallas_pipe2
         args = (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(xlen),

@@ -199,11 +199,145 @@ def _parse_fasta_bytes_np(data: bytes) -> SeqInfo:
     return SeqInfo(codes=concat_codes, start=start, fresh=fresh, headers=headers)
 
 
+# Above this file size read_fasta switches to the chunked streaming
+# parser (the reference streams through a 50 MB buffer,
+# src/commonFunctions.c:15-23 / READBUF src/structs.h:11; whole-file
+# parsing needs ~4x the file in temporaries, a real constraint at the
+# ~1M-read metagenome scale of BASELINE config 3).
+STREAM_THRESHOLD = 256 << 20
+STREAM_CHUNK = 64 << 20
+
+
 def read_fasta(path_or_bytes: Union[str, bytes]) -> SeqInfo:
     if isinstance(path_or_bytes, bytes):
         return parse_fasta_bytes(path_or_bytes)
+    import os
+
+    if os.path.getsize(path_or_bytes) > STREAM_THRESHOLD:
+        return read_fasta_stream(path_or_bytes)
     with open(path_or_bytes, "rb") as f:
         return parse_fasta_bytes(f.read())
+
+
+def _pending_fresh(seg: np.ndarray, carry: bool) -> bool:
+    """Will the next kept base start a fresh k-mer window?  ``seg`` holds
+    the sequence-line bytes scanned since the last read start (or chunk
+    carry); ``carry`` is the state entering the segment (True right after
+    a header -- a read's first base is always fresh).  A dropped
+    non-newline char with no kept base after it leaves a reset pending
+    (reference rule, src/IMSAME.c:229-231)."""
+    if len(seg) == 0:
+        return carry
+    kept = _CODE_LUT[seg] != 255
+    dropped = ~kept & (seg != _NL)
+    kept_idx = np.flatnonzero(kept)
+    if len(kept_idx) == 0:
+        return carry or bool(dropped.any())
+    return bool(dropped[kept_idx[-1] + 1 :].any())
+
+
+def read_fasta_stream(
+    path: str, chunk_bytes: int = STREAM_CHUNK
+) -> SeqInfo:
+    """Chunked-streaming FASTA parse, bit-identical to parse_fasta_bytes
+    on the whole file (tests/test_fasta.py), in bounded extra memory:
+    one chunk of raw bytes plus the growing output arrays.
+
+    Chunks split at line boundaries (a partial trailing line carries into
+    the next chunk).  A chunk that starts inside a read is parsed with a
+    synthetic ``>`` header; the resulting pseudo-read's bases append to
+    the previous read, and its first base's fresh flag comes from the
+    carried window state instead of the parser's read-start True."""
+    codes_parts: List[np.ndarray] = []
+    fresh_parts: List[np.ndarray] = []
+    start_parts: List[np.ndarray] = []
+    headers: List[bytes] = []
+    total = 0
+    in_read = False  # some '>' has been seen in an earlier chunk
+    pending_fresh = True
+    leftover = b""
+    with open(path, "rb") as f:
+        eof = False
+        while not eof:
+            raw = f.read(chunk_bytes)
+            eof = not raw
+            data = leftover + raw
+            leftover = b""
+            if not eof:  # carry the partial trailing line
+                cut = data.rfind(b"\n")
+                if cut < 0:
+                    leftover = data
+                    continue
+                leftover = data[cut + 1 :]
+                data = data[: cut + 1]
+            if not data:
+                continue
+
+            cont = in_read
+            info = parse_fasta_bytes((b">\n" + data) if cont else data)
+
+            # advance the fresh-carry over this chunk's unfinished tail:
+            # seg = sequence bytes after the last header line (fresh
+            # resets to True at a read start), or the whole chunk if it
+            # holds no header (continuation)
+            h = data.rfind(b"\n>")
+            if h >= 0 or data.startswith(b">"):
+                seg_from = h + 1 if h >= 0 else 0
+                nlp = data.find(b"\n", seg_from)
+                seg = np.frombuffer(
+                    data[nlp + 1 :] if nlp >= 0 else b"", np.uint8
+                )
+                next_fresh = _pending_fresh(seg, True)
+            else:
+                next_fresh = _pending_fresh(
+                    np.frombuffer(data, np.uint8), pending_fresh
+                )
+
+            if info.n_seqs:
+                c, fr, st, hd = info.codes, info.fresh, info.start, info.headers
+                if cont:
+                    # read 0 is the synthetic continuation; its bases (if
+                    # any) belong to the previous read
+                    cont_has_bases = len(c) > 0 and (
+                        st.size == 1 or int(st[1]) > 0
+                    )
+                    if cont_has_bases:
+                        # dropped chars in this chunk before the first
+                        # kept continuation base also leave a reset
+                        fh = data.find(b"\n>")
+                        region = np.frombuffer(
+                            data[: fh + 1] if fh >= 0 else data, np.uint8
+                        )
+                        ki = np.flatnonzero(_CODE_LUT[region] != 255)
+                        pre = region[: ki[0]]
+                        fr = fr.copy()
+                        fr[0] = pending_fresh or bool(
+                            (
+                                (_CODE_LUT[pre] == 255) & (pre != _NL)
+                            ).any()
+                        )
+                    st = st[1:]
+                    hd = hd[1:]
+                codes_parts.append(c)
+                fresh_parts.append(fr)
+                start_parts.append(st + total)
+                headers.extend(hd)
+                total += len(c)
+            in_read = in_read or (b">" in data)
+            pending_fresh = next_fresh
+    if not codes_parts:
+        return SeqInfo(
+            codes=np.empty(0, np.uint8),
+            start=np.empty(0, np.int64),
+            fresh=np.empty(0, bool),
+            headers=headers,
+        )
+    return SeqInfo(
+        codes=np.concatenate(codes_parts),
+        start=np.concatenate(start_parts).astype(np.int64),
+        fresh=np.concatenate(fresh_parts),
+        headers=headers,
+    )
 
 
 # --- reverse complement tool (reference: src/reverseComplement.c) ---

@@ -794,6 +794,379 @@ def _make_nw_stats_pipe_kernel(max_len: int):
 # Pairs streamed per sublane row in the pipelined stats kernel.
 PIPE_K = 8
 
+
+def _make_nw_stats_pipe3_kernel(max_len: int):
+    """v3 pipelined stats kernel: same stream layout, recurrence, quirks
+    and bit-equal outputs as _make_nw_stats_pipe2_kernel, restructured
+    around the measured bottleneck (VERDICT r4): the kernel is VPU
+    issue-bound, so wall time tracks the vector-op count per diagonal.
+
+    Changes vs v2:
+      1. Carried wavefront state (3 score + 3 stat diagonals, mf/mc
+         trackers, char feeds, best-cell accumulator/staging, lens) is
+         loaded from VMEM ONCE per grid step, threaded through the
+         unrolled steps as SSA values, and stored back once at the end;
+         the mod-4 rotating buffers become free register renames.
+      2. Unguarded lane shifts: the lane-0 fill select after pltpu.roll
+         is dropped for the six TRANSIENT read shifts (t_*, w_*) whose
+         lane-0/1 consumers are already masked by border/valid/lane
+         guards.  Persistent carried state (yd, the mc_s/mc_x/mc_w
+         advance) keeps its fills -- a wrapped lane-0 value there would
+         roll to lane 2 where score_right legitimately reads it.
+      3. Single per-lane best accumulator with harvest-at-handover: when
+         lane e transfers to the young pair, the old owner's completed
+         per-lane maximum moves to a staging row and the accumulator
+         resets to the sentinel; the phase-end flush reduces the staging
+         row (which then holds exactly the finished pair's lanes).
+         Replaces v2's two parity accumulators and their four selects.
+      4. xlen/ylen become carried registers updated at handover, deleting
+         the two old-pair length feed streams.
+      5. Static lane masks, lane*4096 and lane*egap hoisted; the
+         pipelined-stream identities j==0 <=> lane==e and
+         j>=1 <=> lane!=e fold the border/inner masks; mf/mc update
+         guards share one inner&(j>=2) term.
+
+    Ownership-transfer safety: as in v2 (see _make_nw_stats_pipe_kernel),
+    plus the new unguarded shifts argued in (2)."""
+    L = max_len
+    PHASE = L // UNROLL2
+    K = PIPE2_K
+
+    def kernel(igap_ref, egap_ref,
+               fx_ref, fy_ref, fy0_ref, fxl_y_ref, fyl_y_ref,
+               bs_ref, bi_ref, bj_ref, bw_ref,
+               sb1, sb2, sb3, wb1, wb2, wb3,
+               mfs_ref, mfxy_ref, mfw_ref, mcs_ref, mcx_ref, mcw_ref,
+               yd_ref, xc_ref, xl_ref, yl_ref,
+               acc_ref, accw_ref, sta_ref, stw_ref):
+        g = pl.program_id(1)
+        dbase = g * jnp.int32(UNROLL2)
+        q = g // jnp.int32(PHASE)  # phase index = d // L
+        ebase = (g - q * jnp.int32(PHASE)) * jnp.int32(UNROLL2)
+        igap = igap_ref[0, 0]
+        egap = egap_ref[0, 0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RBLK2, L), 1)
+        lane4096 = lane * jnp.int32(4096)
+        lane_egap = lane * egap
+        NEG32 = jnp.int32(NEG)
+        P4 = jnp.int32(POINT)
+        M4 = jnp.int32(-POINT)
+        Z32 = jnp.int32(0)
+        ONE = jnp.int32(1)
+        SENT = jnp.int32(-(2**31) + 1)
+        lane_is0 = lane == 0
+        lane_ge2 = lane >= 2
+
+        def roll1(a):
+            return pltpu.roll(a, jnp.int32(1), axis=1)
+
+        def shift1(a, fill):
+            return jnp.where(lane_is0, fill, roll1(a))
+
+        @pl.when(dbase == 0)
+        def _init():
+            neg = jnp.full((RBLK2, L), NEG, jnp.int32)
+            zero = jnp.zeros((RBLK2, L), jnp.int32)
+            sent = jnp.full((RBLK2, L), SENT, jnp.int32)
+            for ref in (sb1, sb2, sb3, mfs_ref, mcs_ref):
+                ref[:] = neg
+            for ref in (wb1, wb2, wb3, mfxy_ref, mfw_ref,
+                        mcx_ref, mcw_ref, yd_ref, xc_ref, xl_ref,
+                        yl_ref, accw_ref, stw_ref):
+                ref[:] = zero
+            acc_ref[:] = sent
+            sta_ref[:] = sent
+
+        # one VMEM load per carried row per GRID step (not per diagonal)
+        s_dm1 = sb1[:]
+        s_dm2 = sb2[:]
+        s_dm3 = sb3[:]
+        w_dm1 = wb1[:]
+        w_dm2 = wb2[:]
+        w_dm3 = wb3[:]
+        mf_s = mfs_ref[:]
+        mf_xy = mfxy_ref[:]
+        mf_w = mfw_ref[:]
+        mc_s = mcs_ref[:]
+        mc_x = mcx_ref[:]
+        mc_w = mcw_ref[:]
+        yd = yd_ref[:]
+        xc = xc_ref[:]
+        xlen = xl_ref[:]
+        ylen = yl_ref[:]
+        acc = acc_ref[:]
+        accw = accw_ref[:]
+        sta = sta_ref[:]
+        stw = stw_ref[:]
+
+        for u in range(UNROLL2):
+            e = ebase + jnp.int32(u)
+            s2 = s_dm2  # diagonal d-2
+            s3 = s_dm3  # diagonal d-3
+            w2 = w_dm2
+            w3 = w_dm3
+            x_new = fx_ref[0, :, u : u + 1]  # (RBLK2, 1) young X[e]
+            y_new = fy_ref[0, :, u : u + 1]
+            y0 = fy0_ref[0, :, u : u + 1]
+            xl_y = fxl_y_ref[0, :, u : u + 1]
+            yl_y = fyl_y_ref[0, :, u : u + 1]
+            young = lane <= e
+            j_idx = (e - lane) + jnp.where(young, Z32, jnp.int32(L))
+            eq_e = lane == e
+
+            # handover: lane e's owner becomes the young pair -- harvest
+            # the old owner's completed per-lane best into staging first
+            sta = jnp.where(eq_e, acc, sta)
+            stw = jnp.where(eq_e, accw, stw)
+            acc = jnp.where(eq_e, SENT, acc)
+            xc = jnp.where(eq_e, x_new, xc)
+            xlen = jnp.where(eq_e, xl_y, xlen)
+            ylen = jnp.where(eq_e, yl_y, ylen)
+            yd = shift1(yd, y_new)
+
+            valid = (lane < xlen) & (j_idx < ylen)
+            # j==0 <=> lane==e; j>=1 <=> lane!=e (old pairs have j>=e+1)
+            bmask = lane_is0 | eq_e
+            border = valid & bmask
+            inner = valid ^ border  # valid & lane>=1 & j>=1
+            is_match = xc == yd
+            s_pm = jnp.where(is_match, P4, M4)
+            diag_add = jnp.where(is_match, jnp.int32((1 << 16) + 1), ONE)
+
+            # unguarded shifts: wrapped lane-0 values only feed masked
+            # consumers (see docstring change 2)
+            t_im1_jm1 = roll1(s2)
+            t_i_jm2 = s2
+            sh_s3 = roll1(s3)
+            t_im1_jm2 = sh_s3
+            t_im2_jm1 = roll1(sh_s3)
+            w_im1_jm1 = roll1(w2)
+            w_im1_jm2 = roll1(w3)
+            w_im2_jm1 = roll1(w_im1_jm2)
+
+            # mf update (before the cell), j > 1
+            lanej = lane4096 + j_idx
+            jge2 = j_idx >= 2
+            ij2 = inner & jge2
+            mf_upd = ij2 & (mf_s <= t_i_jm2)
+            mf_s = jnp.where(mf_upd, t_im1_jm2, mf_s)
+            mf_xy = jnp.where(mf_upd, lanej - jnp.int32(4098), mf_xy)
+            mf_w = jnp.where(mf_upd, w_im1_jm2, mf_w)
+
+            # cell scores (gap distances unpacked from mf_xy)
+            score_diag = t_im1_jm1 + s_pm
+            dxy = lanej - mf_xy
+            dyl = dxy & jnp.int32(4095)
+            dxl = dxy >> jnp.int32(12)
+            score_left = jnp.where(
+                jge2,
+                mf_s + (igap - egap) + dyl * egap + s_pm, NEG32,
+            )
+            score_right = jnp.where(
+                lane_ge2,
+                (mc_s + (igap - egap) - mc_x * egap) + lane_egap + s_pm,
+                NEG32,
+            )
+            pick_diag = (score_diag >= score_left) & (
+                score_diag >= score_right
+            )
+            pick_right = (~pick_diag) & (score_right > score_left)
+            cell = jnp.where(
+                pick_diag, score_diag,
+                jnp.where(pick_right, score_right, score_left),
+            )
+
+            # packed path stats of this cell
+            add_left = jnp.where(dxl > dyl, dxl, dyl)
+            dxr = lane - mc_x
+            add_right = jnp.where(dxr > 1, dxr, ONE)
+            w_new = jnp.where(
+                pick_diag,
+                w_im1_jm1 + diag_add,
+                jnp.where(pick_right, mc_w + add_right, mf_w + add_left),
+            )
+
+            cell = jnp.where(border, s_pm, cell)
+            s0 = jnp.where(valid, cell, NEG32)
+            w0 = jnp.where(inner, w_new, Z32)
+
+            # mc update (after the cell), strict >, from two rows up
+            mc_upd = ij2 & lane_ge2 & (t_im2_jm1 > mc_s)
+            mc_s = jnp.where(mc_upd, t_im2_jm1, mc_s)
+            mc_x = jnp.where(mc_upd, lane - jnp.int32(2), mc_x)
+            mc_w = jnp.where(mc_upd, w_im2_jm1, mc_w)
+
+            # mf re-init from the young pair's column-0 cell (e, 0)
+            col0_ok = xl_y > e  # (RBLK2, 1)
+            col0_score = jnp.where(x_new == y0, P4, M4)
+            upd_col = eq_e & col0_ok
+            mf_s = jnp.where(upd_col, col0_score, mf_s)
+            mf_xy = jnp.where(upd_col, lane4096, mf_xy)  # (x=e=lane, y=0)
+            mf_w = jnp.where(upd_col, Z32, mf_w)
+
+            # advance mc: shift down, push the young pair's column e.
+            # mc_* are PERSISTENT state: their pushes keep the fills (a
+            # wrapped lane-0 value would roll to lane 2 where score_right
+            # legitimately reads it two steps later).
+            row0_ok = yl_y > e
+            new_col_s = jnp.where(row0_ok, s0[:, 0:1], NEG32)
+            mc_s = shift1(mc_s, new_col_s)
+            mc_x = shift1(mc_x, Z32)
+            mc_w = shift1(mc_w, Z32)
+
+            # single per-lane best accumulator (harvested at handover)
+            elig = inner & ((lane == xlen - 1) | (j_idx == ylen - 1))
+            packed = (s0 << jnp.int32(13)) | (lane + j_idx)  # d_loc = i+j
+            npm = jnp.where(elig, packed, SENT)
+            upd = npm > acc
+            acc = jnp.where(upd, npm, acc)
+            accw = jnp.where(upd, w0, accw)
+
+            # rotate diagonals: free register renames
+            s_dm3 = s_dm2
+            s_dm2 = s_dm1
+            s_dm1 = s0
+            w_dm3 = w_dm2
+            w_dm2 = w_dm1
+            w_dm1 = w0
+
+        # one VMEM store per carried row per grid step
+        sb1[:] = s_dm1
+        sb2[:] = s_dm2
+        sb3[:] = s_dm3
+        wb1[:] = w_dm1
+        wb2[:] = w_dm2
+        wb3[:] = w_dm3
+        mfs_ref[:] = mf_s
+        mfxy_ref[:] = mf_xy
+        mfw_ref[:] = mf_w
+        mcs_ref[:] = mc_s
+        mcx_ref[:] = mc_x
+        mcw_ref[:] = mc_w
+        yd_ref[:] = yd
+        xc_ref[:] = xc
+        xl_ref[:] = xlen
+        yl_ref[:] = ylen
+        acc_ref[:] = acc
+        accw_ref[:] = accw
+        sta_ref[:] = sta
+        stw_ref[:] = stw
+
+        # phase-end epilogue: after the last handover of phase q the
+        # staging row holds exactly pair q-1's completed per-lane maxima
+        # (lane e was harvested at step e; pair q-1's last cell on lane e
+        # was computed one step earlier).  Reduce it into output slot q-1
+        # with the associative (score, i, d) fold of v2.
+        @pl.when((ebase == jnp.int32(L - UNROLL2)) & (q >= 1))
+        def _flush():
+            Ap = sta_ref[:]
+            Wp = stw_ref[:]
+            amax = jnp.max(Ap, axis=1, keepdims=True)  # (RBLK2, 1)
+            any_ = amax != SENT
+            s_l = Ap >> jnp.int32(13)
+            smax = amax >> jnp.int32(13)
+            bi = jnp.max(
+                jnp.where(s_l == smax, lane, jnp.int32(-1)),
+                axis=1, keepdims=True,
+            )
+            at = lane == bi
+            dsel = jnp.sum(
+                jnp.where(at, Ap & jnp.int32(8191), Z32),
+                axis=1, keepdims=True,
+            )
+            wsel = jnp.sum(jnp.where(at, Wp, Z32), axis=1, keepdims=True)
+            bs_v = jnp.where(any_, smax, SENT)
+            bi_v = jnp.where(any_, bi, Z32)
+            bj_v = jnp.where(any_, dsel - bi, Z32)
+            bw_v = jnp.where(any_, wsel, Z32)
+            slot = q - jnp.int32(1)
+            kiota = jax.lax.broadcasted_iota(jnp.int32, (RBLK2, K), 1)
+            mask = kiota == slot
+            bs_ref[:] = jnp.where(mask, bs_v, bs_ref[:])
+            bi_ref[:] = jnp.where(mask, bi_v, bi_ref[:])
+            bj_ref[:] = jnp.where(mask, bj_v, bj_ref[:])
+            bw_ref[:] = jnp.where(mask, bw_v, bw_ref[:])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("max_len", "interpret"))
+def nw_stats_batch_pallas_pipe3(
+    X: jax.Array,  # [B, L] uint8 codes
+    Y: jax.Array,
+    xlen: jax.Array,  # [B]
+    ylen: jax.Array,
+    igap,
+    egap,
+    *,
+    max_len: int,
+    interpret: bool = False,
+) -> NWStatsResult:
+    """v3 registerized pipelined stats aligner (see
+    _make_nw_stats_pipe3_kernel).  Bit-equal to nw_stats_batch and the
+    v1/v2 Pallas kernels; v2's feed layout minus the old-pair length
+    streams (lens are carried in-kernel), 20 scratch rows."""
+    B, L = X.shape
+    K = PIPE2_K
+    assert L == max_len and L % 128 == 0
+    assert B % (RBLK2 * K) == 0, (B, RBLK2, K)
+    assert L % UNROLL2 == 0
+    R = B // K
+    NS = (K + 1) * L
+    n_grid = NS // UNROLL2
+    grid = (R // RBLK2, n_grid)
+
+    Xi = X.astype(jnp.int32)
+    Yi = Y.astype(jnp.int32)
+    xl = xlen.astype(jnp.int32)
+    yl = ylen.astype(jnp.int32)
+
+    padL = jnp.zeros((R, L), jnp.int32)
+    g3 = lambda a: a.reshape(R, n_grid, UNROLL2).transpose(1, 0, 2)
+    fx = g3(jnp.concatenate([Xi.reshape(R, K * L), padL], axis=1))
+    fy = g3(jnp.concatenate([Yi.reshape(R, K * L), padL], axis=1))
+    rep = lambda v: jnp.repeat(v.reshape(R, K), L, axis=1)
+    fy0 = g3(jnp.concatenate([rep(Yi[:, 0]), padL], axis=1))
+    fxl_y = g3(jnp.concatenate([rep(xl), padL], axis=1))
+    fyl_y = g3(jnp.concatenate([rep(yl), padL], axis=1))
+
+    kernel = _make_nw_stats_pipe3_kernel(L)
+    scr = [pltpu.VMEM((RBLK2, L), jnp.int32)] * 20
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((R, K), jnp.int32) for _ in range(4)
+    )
+    smem11 = pl.BlockSpec((1, 1), lambda b, g: (0, 0), memory_space=pltpu.SMEM)
+    feedU = lambda: pl.BlockSpec(
+        (1, RBLK2, UNROLL2), lambda b, g: (g, b, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (RBLK2, K), lambda b, g: (b, 0), memory_space=pltpu.VMEM
+    )
+    bs, bi, bj, bw = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem11, smem11,
+                  feedU(), feedU(), feedU(), feedU(), feedU()],
+        out_specs=tuple(out_spec for _ in range(4)),
+        out_shape=out_shape,
+        scratch_shapes=scr,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(
+        jnp.asarray(igap, jnp.int32).reshape(1, 1),
+        jnp.asarray(egap, jnp.int32).reshape(1, 1),
+        fx, fy, fy0, fxl_y, fyl_y,
+    )
+    return NWStatsResult(
+        best_score=bs.reshape(B),
+        best_i=bi.reshape(B),
+        best_j=bj.reshape(B),
+        length=bw.reshape(B) & 0xFFFF,
+        identities=bw.reshape(B) >> 16,
+    )
+
 # v2 pipelined stats kernel: wider sublane block and longer pair stream
 # (ramp/drain overhead K/(K+1) -> 16/17), plus the cheaper best-cell
 # machinery below.

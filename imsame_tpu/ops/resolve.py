@@ -26,7 +26,7 @@ from .nw_pallas import (
     nw_forward_batch_pallas,
     nw_stats_batch_pallas,
     nw_stats_batch_pallas_pipe,
-    nw_stats_batch_pallas_pipe2,
+    nw_stats_batch_pallas_pipe3,
 )
 from .traceback import TracebackResult, traceback_batch
 
@@ -113,10 +113,10 @@ def nw_stats_rows(
         use_pallas and pipe and B % (RBLK2 * PIPE2_K) == 0
         and max_len % 8 == 0
     ):
-        # v2 pipelined kernel: 16 pairs streamed per 16-sublane row with
-        # the associative best-cell fold (nw_pallas.py
-        # _make_nw_stats_pipe2_kernel; ~1.7x the v1 pipe kernel).
-        nw_fn = nw_stats_batch_pallas_pipe2
+        # v3 registerized pipelined kernel (nw_pallas.py
+        # _make_nw_stats_pipe3_kernel; 16.2 vs the v2 kernel's 8.3 GCUPS
+        # measured on TPU v5e, bit-equal).
+        nw_fn = nw_stats_batch_pallas_pipe3
     elif use_pallas and pipe and B % (BBLK * PIPE_K) == 0 and max_len % 8 == 0:
         # Pipelined kernel: K pairs streamed per sublane row at ~full lane
         # occupancy, ~1.8x fewer wavefront steps (nw_pallas.py

@@ -23,12 +23,18 @@ import os
 import tempfile
 import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 from .config import Config
 from .index.kmer import build_index, load_index, save_index
-from .io.fasta import SeqInfo, parse_fasta_bytes, revcomp_fasta_bytes
+from .io.fasta import (
+    SeqInfo,
+    parse_fasta_bytes,
+    read_fasta,
+    revcomp_fasta_bytes,
+)
 from .io.report import jaccard_index
 from .pipeline import TpuEngine
 
@@ -101,7 +107,8 @@ class AllVsAllRunner:
     def _load_query(self, job: PairJob) -> SeqInfo:
         q = self._queries.get(job.qname)
         if q is None:
-            q = parse_fasta_bytes(job.qpath.read_bytes())
+            # read_fasta streams >256 MB files in bounded memory
+            q = read_fasta(str(job.qpath))
             self._queries[job.qname] = q
         self._queries.move_to_end(job.qname)
         while len(self._queries) > self.max_queries:
@@ -160,10 +167,14 @@ class AllVsAllRunner:
         key = (job.dbname, job.reverse)
         eng = self._engines.get(key)
         if eng is None:
-            data = job.dbpath.read_bytes()
             if job.reverse:
-                data = revcomp_fasta_bytes(data)
-            db = parse_fasta_bytes(data)
+                # revComp reverses file order (src/reverseComplement.c:56)
+                # -- inherently two-pass, so it stays whole-file
+                db = parse_fasta_bytes(
+                    revcomp_fasta_bytes(job.dbpath.read_bytes())
+                )
+            else:
+                db = read_fasta(str(job.dbpath))
             eng = TpuEngine(db, self.cfg, index=self._index_for(key, db))
             self._engines[key] = eng
         self._engines.move_to_end(key)
@@ -186,24 +197,16 @@ class AllVsAllRunner:
         jobs.sort(key=lambda j: (j.dbname, j.reverse))
         stats: Dict[str, dict] = {}
         failures: Dict[str, str] = {}
-        for job in jobs:
+
+        def _finish(job, eng, q, res, t0):
+            """Host render + atomic writes for one compared job.  Runs on
+            the single worker thread so job N's report production overlaps
+            job N+1's compare (the chains were already materialized on the
+            compare thread while the engine's device state was current;
+            the block render is native C + file IO, both GIL-releasing)."""
             out_path = self.outdir / job.out_name
             stats_path = self.outdir / (job.out_name + ".json")
-            if out_path.exists():
-                if stats_path.exists():
-                    stats[job.out_name] = json.loads(stats_path.read_text())
-                continue
-            t0 = time.perf_counter()
-            try:
-                q = self._load_query(job)
-                eng = self._engine_for(job)
-                res = eng.compare(q)
-                report = eng.render_report(q, res)
-            except Exception as e:  # failure isolation: one bad pair must
-                # not kill the sweep; the missing output file marks the
-                # job for retry on the next (resumed) run.
-                failures[job.out_name] = f"{type(e).__name__}: {e}"
-                continue
+            report = eng.render_report(q, res)
             tmp = out_path.with_suffix(out_path.suffix + ".tmp")
             tmp.write_bytes(report)
             os.replace(tmp, out_path)  # atomic completion marker
@@ -222,7 +225,55 @@ class AllVsAllRunner:
             tmp_s = stats_path.with_suffix(".json.tmp")
             tmp_s.write_text(json.dumps(entry))
             os.replace(tmp_s, stats_path)
-            stats[job.out_name] = entry
+            return entry
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        pending: List[Tuple[PairJob, object]] = []
+
+        def _drain(block_all=False):
+            """Collect finished render futures; keep at most one in
+            flight (bounds queued chain memory to ~one job)."""
+            while pending and (
+                block_all or len(pending) > 1 or pending[0][1].done()
+            ):
+                pjob, fut = pending.pop(0)
+                try:
+                    stats[pjob.out_name] = fut.result()
+                except Exception as e:
+                    failures[pjob.out_name] = f"{type(e).__name__}: {e}"
+
+        try:
+            for job in jobs:
+                out_path = self.outdir / job.out_name
+                stats_path = self.outdir / (job.out_name + ".json")
+                if out_path.exists():
+                    if stats_path.exists():
+                        stats[job.out_name] = json.loads(
+                            stats_path.read_text()
+                        )
+                    continue
+                t0 = time.perf_counter()
+                try:
+                    q = self._load_query(job)
+                    eng = self._engine_for(job)
+                    res = eng.compare(q)
+                    # Chains must be fetched while THIS compare's device
+                    # state is current (the next compare on a shared
+                    # engine overwrites it); the rest of the render is
+                    # host-only and defers to the worker.
+                    eng._materialize_chains(res.records)
+                except Exception as e:  # failure isolation: one bad pair
+                    # must not kill the sweep; the missing output file
+                    # marks the job for retry on the next (resumed) run.
+                    failures[job.out_name] = f"{type(e).__name__}: {e}"
+                    continue
+                pending.append(
+                    (job, pool.submit(_finish, job, eng, q, res, t0))
+                )
+                _drain()
+            _drain(block_all=True)
+        finally:
+            pool.shutdown(wait=True)
         if failures:
             fp = self.outdir / f"failures.host{self.host_id}.json"
             fp.write_text(json.dumps(failures, indent=1))

@@ -136,3 +136,48 @@ def test_native_parse_matches_numpy():
             for i in range(n_reads)
         ]
         assert headers == a.headers
+
+
+# --- streaming parser (reference streams via a 50 MB READBUF buffer,
+# src/commonFunctions.c:15-23; VERDICT r3 missing item 2) ---
+
+def _adversarial_fasta(rng):
+    """FASTA bytes packed with boundary hazards: multi-line reads, dropped
+    chars at line starts/ends, empty reads, headers back-to-back, lowercase,
+    no trailing newline."""
+    parts = []
+    for i in range(rng.randrange(30, 60)):
+        parts.append(f">r{i} desc\n".encode())
+        kind = rng.randrange(6)
+        if kind == 0:
+            continue  # base-less read
+        n_lines = rng.randrange(1, 5)
+        for _ in range(n_lines):
+            line = "".join(
+                rng.choice("ACGTacgtNnX-")
+                for _ in range(rng.randrange(0, 90))
+            )
+            parts.append(line.encode() + b"\n")
+    data = b"".join(parts)
+    if rng.random() < 0.5:
+        data = data.rstrip(b"\n")  # unterminated final line
+    return data
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("chunk", [7, 64, 1024])
+def test_stream_parse_matches_whole_file(tmp_path, seed, chunk):
+    import random
+
+    from imsame_tpu.io.fasta import read_fasta_stream
+
+    rng = random.Random(seed)
+    data = _adversarial_fasta(rng)
+    p = tmp_path / "s.fa"
+    p.write_bytes(data)
+    whole = parse_fasta_bytes(data)
+    stream = read_fasta_stream(str(p), chunk_bytes=chunk)
+    np.testing.assert_array_equal(stream.codes, whole.codes)
+    np.testing.assert_array_equal(stream.start, whole.start)
+    np.testing.assert_array_equal(stream.fresh, whole.fresh)
+    assert stream.headers == whole.headers

@@ -157,6 +157,30 @@ def test_stats_pallas_pipe2_interpret_matches_jnp(seed, L, mult):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("seed,L,mult", [(0, 128, 1), (7, 128, 2), (23, 256, 1)])
+def test_stats_pallas_pipe3_interpret_matches_jnp(seed, L, mult):
+    """The v3 registerized pipelined stats kernel (production dispatch:
+    ops/resolve.py) must be bit-equal to the jnp stats aligner, including
+    tie-breaks; covers the harvest-at-handover best accumulator and the
+    unguarded transient shifts."""
+    from imsame_tpu.ops.nw_pallas import (
+        PIPE2_K, RBLK2, nw_stats_batch_pallas_pipe3)
+
+    rng = np.random.default_rng(seed)
+    B = mult * RBLK2 * PIPE2_K
+    X, Y, xlen, ylen = _mixed_pairs(rng, B, L)
+    st = nw_stats_batch(
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(xlen), jnp.asarray(ylen),
+        -5, -2, max_len=L,
+    )
+    sp = nw_stats_batch_pallas_pipe3(
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(xlen), jnp.asarray(ylen),
+        -5, -2, max_len=L, interpret=True,
+    )
+    for a, b in zip(st, sp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("seed", [0, 7])
 def test_stats_pallas_interpret_matches_jnp(seed):
     rng = np.random.default_rng(seed)
