@@ -103,6 +103,7 @@ class AllVsAllRunner:
             collections.OrderedDict()
         )
         self._save_threads: List[threading.Thread] = []
+        self._prefetch: Optional[Tuple[Tuple[str, bool], object]] = None
 
     def _load_query(self, job: PairJob) -> SeqInfo:
         q = self._queries.get(job.qname)
@@ -163,19 +164,32 @@ class AllVsAllRunner:
         self._save_threads.append(t)
         return idx
 
+    def _build_engine(self, job: PairJob) -> TpuEngine:
+        """Parse (+revcomp) the db sample and build its engine.  Does NOT
+        touch the LRU: safe to run on the prefetch thread while the main
+        thread compares with the previous engine (parse/index build are
+        native + numpy, the device uploads dispatch asynchronously)."""
+        key = (job.dbname, job.reverse)
+        if job.reverse:
+            # revComp reverses file order (src/reverseComplement.c:56)
+            # -- inherently two-pass, so it stays whole-file
+            db = parse_fasta_bytes(
+                revcomp_fasta_bytes(job.dbpath.read_bytes())
+            )
+        else:
+            db = read_fasta(str(job.dbpath))
+        return TpuEngine(db, self.cfg, index=self._index_for(key, db))
+
     def _engine_for(self, job: PairJob) -> TpuEngine:
         key = (job.dbname, job.reverse)
         eng = self._engines.get(key)
         if eng is None:
-            if job.reverse:
-                # revComp reverses file order (src/reverseComplement.c:56)
-                # -- inherently two-pass, so it stays whole-file
-                db = parse_fasta_bytes(
-                    revcomp_fasta_bytes(job.dbpath.read_bytes())
-                )
+            pf = self._prefetch
+            if pf is not None and pf[0] == key:
+                self._prefetch = None
+                eng = pf[1].result()  # built (or building) ahead of time
             else:
-                db = read_fasta(str(job.dbpath))
-            eng = TpuEngine(db, self.cfg, index=self._index_for(key, db))
+                eng = self._build_engine(job)
             self._engines[key] = eng
         self._engines.move_to_end(key)
         while len(self._engines) > self.max_engines:
@@ -198,15 +212,16 @@ class AllVsAllRunner:
         stats: Dict[str, dict] = {}
         failures: Dict[str, str] = {}
 
-        def _finish(job, eng, q, res, t0):
-            """Host render + atomic writes for one compared job.  Runs on
-            the single worker thread so job N's report production overlaps
-            job N+1's compare (the chains were already materialized on the
-            compare thread while the engine's device state was current;
-            the block render is native C + file IO, both GIL-releasing)."""
+        def _finish(job, eng, q, res, t0, dev):
+            """Render + atomic writes for one compared job.  Runs on the
+            single worker thread so job N's report production (render-NW
+            device pass, chain fetch, native block render, file IO)
+            overlaps job N+1's compare; ``dev`` snapshots the compare's
+            device state since a later compare on a shared engine
+            overwrites eng._last_dev."""
             out_path = self.outdir / job.out_name
             stats_path = self.outdir / (job.out_name + ".json")
-            report = eng.render_report(q, res)
+            report = eng.render_report(q, res, dev=dev)
             tmp = out_path.with_suffix(out_path.suffix + ".tmp")
             tmp.write_bytes(report)
             os.replace(tmp, out_path)  # atomic completion marker
@@ -228,7 +243,26 @@ class AllVsAllRunner:
             return entry
 
         pool = ThreadPoolExecutor(max_workers=1)
+        prefetch_pool = ThreadPoolExecutor(max_workers=1)
         pending: List[Tuple[PairJob, object]] = []
+
+        def _prefetch_next(i):
+            """Kick off the next distinct engine's build so its parse /
+            revcomp / index build / device uploads overlap the current
+            job's compare."""
+            key_now = (jobs[i].dbname, jobs[i].reverse)
+            for nxt in jobs[i + 1 :]:
+                key = (nxt.dbname, nxt.reverse)
+                if key == key_now:
+                    continue
+                if key in self._engines or (
+                    self._prefetch is not None and self._prefetch[0] == key
+                ):
+                    return
+                self._prefetch = (
+                    key, prefetch_pool.submit(self._build_engine, nxt)
+                )
+                return
 
         def _drain(block_all=False):
             """Collect finished render futures; keep at most one in
@@ -243,7 +277,7 @@ class AllVsAllRunner:
                     failures[pjob.out_name] = f"{type(e).__name__}: {e}"
 
         try:
-            for job in jobs:
+            for i, job in enumerate(jobs):
                 out_path = self.outdir / job.out_name
                 stats_path = self.outdir / (job.out_name + ".json")
                 if out_path.exists():
@@ -256,24 +290,23 @@ class AllVsAllRunner:
                 try:
                     q = self._load_query(job)
                     eng = self._engine_for(job)
+                    _prefetch_next(i)
                     res = eng.compare(q)
-                    # Chains must be fetched while THIS compare's device
-                    # state is current (the next compare on a shared
-                    # engine overwrites it); the rest of the render is
-                    # host-only and defers to the worker.
-                    eng._materialize_chains(res.records)
+                    dev = eng._last_dev
                 except Exception as e:  # failure isolation: one bad pair
                     # must not kill the sweep; the missing output file
                     # marks the job for retry on the next (resumed) run.
                     failures[job.out_name] = f"{type(e).__name__}: {e}"
                     continue
                 pending.append(
-                    (job, pool.submit(_finish, job, eng, q, res, t0))
+                    (job, pool.submit(_finish, job, eng, q, res, t0, dev))
                 )
                 _drain()
             _drain(block_all=True)
         finally:
             pool.shutdown(wait=True)
+            prefetch_pool.shutdown(wait=True)
+            self._prefetch = None
         if failures:
             fp = self.outdir / f"failures.host{self.host_id}.json"
             fp.write_text(json.dumps(failures, indent=1))

@@ -458,6 +458,7 @@ class TpuEngine:
         self, r_ids: np.ndarray, sids: np.ndarray, qlens: np.ndarray,
         sizes: tuple = None,
         render: bool = False,
+        count_cells: bool = True,
     ):
         """Split pairs into fixed-shape padded chunks bucketed by length.
 
@@ -475,7 +476,10 @@ class TpuEngine:
         yls = qlens[r_ids]
         if P and (int(xls.max()) > MAX_READ_SIZE or int(yls.max()) > MAX_READ_SIZE):
             raise ValueError("Read size reached for gapped alignment.")
-        self._nw_cells += int(np.sum(xls.astype(np.int64) * yls))
+        if count_cells:  # render re-runs aren't compare GCUPS; skipping
+            # the tally (instead of save/restore) keeps this re-entrant
+            # for the orchestrator's deferred-render worker thread
+            self._nw_cells += int(np.sum(xls.astype(np.int64) * yls))
         maxl = np.maximum(xls, yls)
         buckets = np.array([self._nw_bucket(int(m)) for m in maxl], np.int64) \
             if P else np.empty(0, np.int64)
@@ -1394,32 +1398,39 @@ class TpuEngine:
         )
 
     # ------------------------------------------------------------------
-    def _materialize_chains(self, records: List[AcceptedRead]) -> None:
+    def _materialize_chains(
+        self, records: List[AcceptedRead], dev=None
+    ) -> None:
         """Produce traceback chains for accepted pairs by re-running the
         backpointer kernel + traceback on exactly those pairs (the accept
         path used the stats-only aligner, which writes no bp tensor --
         accepted pairs are the only ones whose path must be rendered).
-        Cross-checks the two aligners: stats must equal traceback stats."""
+        Cross-checks the two aligners: stats must equal traceback stats.
+
+        ``dev`` is an optional snapshot of the compare's device state
+        (d_qp, d_dp, d_qlen, d_dlen): pass it when rendering runs
+        concurrently with a later compare on the same engine (the
+        orchestrator's deferred-render worker), since self._last_dev is
+        overwritten per compare."""
         todo = [rec for rec in records if rec.chain is None]
         if not todo:
             return
-        assert self._last_dev is not None, "render before compare"
-        d_qp, d_dp, d_qlen, d_dlen = self._last_dev
+        dev = dev if dev is not None else self._last_dev
+        assert dev is not None, "render before compare"
+        d_qp, d_dp, d_qlen, d_dlen = dev
         r_ids = np.array([rec.qread for rec in todo], np.int64)
         sids = np.array([rec.dbread for rec in todo], np.int64)
         qlens = np.zeros(int(r_ids.max()) + 1, np.int64)
         for rec in todo:
             qlens[rec.qread] = rec.ylen
-        saved_cells = self._nw_cells  # render work isn't compare GCUPS
         pending = []
         for chunk, rpad, spad, L in self._nw_chunks(
-            r_ids, sids, qlens, render=True
+            r_ids, sids, qlens, render=True, count_cells=False
         ):
             res = self._nw_render_dispatch(
                 d_qp, d_dp, np.stack([rpad, spad]), d_qlen, d_dlen, L
             )
             pending.append((chunk, res))
-        self._nw_cells = saved_cells
         flat = jax.device_get(
             [a for _, res in pending
              for a in (res.length, res.identities, res.n_steps, res.chain)]
@@ -1433,13 +1444,15 @@ class TpuEngine:
                 rec.n_steps = int(nsteps[b])
                 rec.chain = chains[b]
 
-    def render_report(self, q: SeqInfo, result: PipelineResult) -> bytes:
+    def render_report(
+        self, q: SeqInfo, result: PipelineResult, dev=None
+    ) -> bytes:
         """Byte-identical -out file content (records in read order, matching
         the reference at n_threads=1).  The block emission runs in the
         native host library when available (batched backtrack + 60-col
         render, native/host.c imsame_render_blocks); the Python path below
-        is the bit-identical fallback."""
-        self._materialize_chains(result.records)
+        is the bit-identical fallback.  ``dev``: see _materialize_chains."""
+        self._materialize_chains(result.records, dev=dev)
         db = self.db
         recs = result.records
         if recs and native.lib is not None:
