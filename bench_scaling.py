@@ -59,10 +59,14 @@ def main() -> int:
         key = "single" if shape is None else f"{shape[0]}x{shape[1]}"
         results[key] = round(dt, 3)
         t = dict(eng.timer.items())
+        # dispatch vs blocked-fetch reported SEPARATELY: the pipeline
+        # overlaps stages, so a stage's fetch wall includes time blocked
+        # on device work that other stages' dispatches queued -- which
+        # stage "absorbs" the shared device/CPU time depends on who
+        # fetches first, not on who computes (VERDICT r3 item 6).
         stages[key] = {
-            "gate_wall": round(
-                t.get("gate.dispatch", 0.0) + t.get("gate.fetch", 0.0), 3
-            ),
+            "gate_dispatch_wall": round(t.get("gate.dispatch", 0.0), 3),
+            "gate_fetch_blocked": round(t.get("gate.fetch", 0.0), 3),
             "nw_wall": round(t.get("resolve.nw", 0.0), 3),
             "extend_wall": round(t.get("resolve.extend", 0.0), 3),
         }
@@ -111,7 +115,19 @@ def main() -> int:
             "single-device on the same host (sharding overhead fully "
             "hidden).  True multi-chip speedup is not measurable with one "
             "real TPU chip; device-compute scaling is structural (chunks "
-            "divide exactly over the mesh)."
+            "divide exactly over the mesh).  Stage walls are WALL time "
+            "inside each phase of an OVERLAPPED pipeline on a 2-vCPU "
+            "host.  The wide-mesh inversion (gate wall up, nw wall down) "
+            "is now attributable with dispatch and fetch split: "
+            "gate_DISPATCH_wall grows to ~6 s at >=8-way sharding "
+            "because each candidate chunk's device_put reshards "
+            "host->N virtual devices on 2 shared cores (extend_wall "
+            "contains that dispatch), while the NW results are finished "
+            "by fetch time so nw_wall collapses to its fetch cost.  An "
+            "attribution artifact of overlap plus virtual-device "
+            "resharding, not a gate compute slowdown; total wall is the "
+            "honest number, and on real multi-chip hardware the reshard "
+            "is an ICI transfer, not host memcpys."
         ),
     }
     print(json.dumps(summary))
