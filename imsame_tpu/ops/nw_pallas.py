@@ -835,7 +835,7 @@ def _make_nw_stats_pipe3_kernel(max_len: int):
     def kernel(igap_ref, egap_ref,
                fx_ref, fy_ref, fy0_ref, fxl_y_ref, fyl_y_ref,
                bs_ref, bi_ref, bj_ref, bw_ref,
-               sb1, sb2, sb3, wb1, wb2, wb3,
+               sb1, sb2, sbR1, sbR2, sbR3, wb1, wb2, wb3,
                mfs_ref, mfxy_ref, mfw_ref, mcs_ref, mcx_ref, mcw_ref,
                yd_ref, xc_ref, xl_ref, yl_ref,
                acc_ref, accw_ref, sta_ref, stw_ref):
@@ -868,7 +868,7 @@ def _make_nw_stats_pipe3_kernel(max_len: int):
             neg = jnp.full((RBLK2, L), NEG, jnp.int32)
             zero = jnp.zeros((RBLK2, L), jnp.int32)
             sent = jnp.full((RBLK2, L), SENT, jnp.int32)
-            for ref in (sb1, sb2, sb3, mfs_ref, mcs_ref):
+            for ref in (sb1, sb2, sbR1, sbR2, sbR3, mfs_ref, mcs_ref):
                 ref[:] = neg
             for ref in (wb1, wb2, wb3, mfxy_ref, mfw_ref,
                         mcx_ref, mcw_ref, yd_ref, xc_ref, xl_ref,
@@ -877,13 +877,21 @@ def _make_nw_stats_pipe3_kernel(max_len: int):
             acc_ref[:] = sent
             sta_ref[:] = sent
 
-        # one VMEM load per carried row per GRID step (not per diagonal)
+        # one VMEM load per carried row per GRID step (not per diagonal).
+        # The score diagonals are carried BOTH raw and pre-rolled (sbR*),
+        # and the stat diagonals pre-rolled only (their raw form is never
+        # read): the roll moves to the rotation (one per diagonal instead
+        # of one per consumer), cutting the per-step lane-roll count from
+        # 10 to 8 -- rolls are ~15% of kernel time (measured by the
+        # norolls probe, BASELINE.md roofline note).
         s_dm1 = sb1[:]
         s_dm2 = sb2[:]
-        s_dm3 = sb3[:]
-        w_dm1 = wb1[:]
-        w_dm2 = wb2[:]
-        w_dm3 = wb3[:]
+        sR_dm1 = sbR1[:]
+        sR_dm2 = sbR2[:]
+        sR_dm3 = sbR3[:]
+        wR_dm1 = wb1[:]
+        wR_dm2 = wb2[:]
+        wR_dm3 = wb3[:]
         mf_s = mfs_ref[:]
         mf_xy = mfxy_ref[:]
         mf_w = mfw_ref[:]
@@ -901,10 +909,7 @@ def _make_nw_stats_pipe3_kernel(max_len: int):
 
         for u in range(UNROLL2):
             e = ebase + jnp.int32(u)
-            s2 = s_dm2  # diagonal d-2
-            s3 = s_dm3  # diagonal d-3
-            w2 = w_dm2
-            w3 = w_dm3
+            s2 = s_dm2  # diagonal d-2 (raw)
             x_new = fx_ref[0, :, u : u + 1]  # (RBLK2, 1) young X[e]
             y_new = fy_ref[0, :, u : u + 1]
             y0 = fy0_ref[0, :, u : u + 1]
@@ -934,15 +939,15 @@ def _make_nw_stats_pipe3_kernel(max_len: int):
             diag_add = jnp.where(is_match, jnp.int32((1 << 16) + 1), ONE)
 
             # unguarded shifts: wrapped lane-0 values only feed masked
-            # consumers (see docstring change 2)
-            t_im1_jm1 = roll1(s2)
+            # consumers (see docstring change 2); most rolled operands
+            # come pre-rolled from the rotation
+            t_im1_jm1 = sR_dm2
             t_i_jm2 = s2
-            sh_s3 = roll1(s3)
-            t_im1_jm2 = sh_s3
-            t_im2_jm1 = roll1(sh_s3)
-            w_im1_jm1 = roll1(w2)
-            w_im1_jm2 = roll1(w3)
-            w_im2_jm1 = roll1(w_im1_jm2)
+            t_im1_jm2 = sR_dm3
+            t_im2_jm1 = roll1(sR_dm3)
+            w_im1_jm1 = wR_dm2
+            w_im1_jm2 = wR_dm3
+            w_im2_jm1 = roll1(wR_dm3)
 
             # mf update (before the cell), j > 1
             lanej = lane4096 + j_idx
@@ -1022,21 +1027,26 @@ def _make_nw_stats_pipe3_kernel(max_len: int):
             acc = jnp.where(upd, npm, acc)
             accw = jnp.where(upd, w0, accw)
 
-            # rotate diagonals: free register renames
-            s_dm3 = s_dm2
+            # rotate diagonals: register renames plus ONE roll per stream
+            # (the pre-rolled forms of the new diagonal)
             s_dm2 = s_dm1
             s_dm1 = s0
-            w_dm3 = w_dm2
-            w_dm2 = w_dm1
-            w_dm1 = w0
+            sR_dm3 = sR_dm2
+            sR_dm2 = sR_dm1
+            sR_dm1 = roll1(s0)
+            wR_dm3 = wR_dm2
+            wR_dm2 = wR_dm1
+            wR_dm1 = roll1(w0)
 
         # one VMEM store per carried row per grid step
         sb1[:] = s_dm1
         sb2[:] = s_dm2
-        sb3[:] = s_dm3
-        wb1[:] = w_dm1
-        wb2[:] = w_dm2
-        wb3[:] = w_dm3
+        sbR1[:] = sR_dm1
+        sbR2[:] = sR_dm2
+        sbR3[:] = sR_dm3
+        wb1[:] = wR_dm1
+        wb2[:] = wR_dm2
+        wb3[:] = wR_dm3
         mfs_ref[:] = mf_s
         mfxy_ref[:] = mf_xy
         mfw_ref[:] = mf_w
@@ -1105,7 +1115,7 @@ def nw_stats_batch_pallas_pipe3(
     """v3 registerized pipelined stats aligner (see
     _make_nw_stats_pipe3_kernel).  Bit-equal to nw_stats_batch and the
     v1/v2 Pallas kernels; v2's feed layout minus the old-pair length
-    streams (lens are carried in-kernel), 20 scratch rows."""
+    streams (lens are carried in-kernel), 22 scratch rows."""
     B, L = X.shape
     K = PIPE2_K
     assert L == max_len and L % 128 == 0
@@ -1131,7 +1141,7 @@ def nw_stats_batch_pallas_pipe3(
     fyl_y = g3(jnp.concatenate([rep(yl), padL], axis=1))
 
     kernel = _make_nw_stats_pipe3_kernel(L)
-    scr = [pltpu.VMEM((RBLK2, L), jnp.int32)] * 20
+    scr = [pltpu.VMEM((RBLK2, L), jnp.int32)] * 22
     out_shape = tuple(
         jax.ShapeDtypeStruct((R, K), jnp.int32) for _ in range(4)
     )
