@@ -235,6 +235,9 @@ def large_bench() -> dict:
         "n_reads": n,
         "accepted": res.accepted,
         "expected_accepted": 50_110,
+        # enforced, not just displayed: a silent accept-count regression
+        # must not ride along looking like a normal run
+        "accepted_ok": res.accepted == 50_110,
         "index_seconds": round(t_index, 2),
         "align_seconds": round(t_align, 2),
         "align_seconds_runs": [round(t, 2) for t in sorted(aligns)],

@@ -212,15 +212,19 @@ class AllVsAllRunner:
         stats: Dict[str, dict] = {}
         failures: Dict[str, str] = {}
 
-        def _finish(job, eng, q, res, t0, dev):
+        def _finish(job, eng, q, res, t_compare, dev):
             """Render + atomic writes for one compared job.  Runs on the
             single worker thread so job N's report production (render-NW
             device pass, chain fetch, native block render, file IO)
             overlaps job N+1's compare; ``dev`` snapshots the compare's
             device state since a later compare on a shared engine
-            overwrites eng._last_dev."""
+            overwrites eng._last_dev.  The recorded per-pair 'seconds' is
+            compare wall + this job's own render wall (time queued behind
+            the previous job's render is excluded, so entries stay
+            comparable to the pre-overlap serial measurement)."""
             out_path = self.outdir / job.out_name
             stats_path = self.outdir / (job.out_name + ".json")
+            t_r = time.perf_counter()
             report = eng.render_report(q, res, dev=dev)
             tmp = out_path.with_suffix(out_path.suffix + ".tmp")
             tmp.write_bytes(report)
@@ -233,7 +237,7 @@ class AllVsAllRunner:
                 "n_query": res.n_query,
                 "n_db": res.n_db,
                 "jaccard": jaccard_index(res.accepted, res.n_query, res.n_db),
-                "seconds": time.perf_counter() - t0,
+                "seconds": t_compare + (time.perf_counter() - t_r),
                 "nw_cells": res.nw_cells,
                 "candidates": res.n_candidates,
             }
@@ -252,6 +256,8 @@ class AllVsAllRunner:
             job's compare."""
             key_now = (jobs[i].dbname, jobs[i].reverse)
             for nxt in jobs[i + 1 :]:
+                if (self.outdir / nxt.out_name).exists():
+                    continue  # resumed job: engine never needed
                 key = (nxt.dbname, nxt.reverse)
                 if key == key_now:
                     continue
@@ -293,13 +299,15 @@ class AllVsAllRunner:
                     _prefetch_next(i)
                     res = eng.compare(q)
                     dev = eng._last_dev
+                    t_compare = time.perf_counter() - t0
                 except Exception as e:  # failure isolation: one bad pair
                     # must not kill the sweep; the missing output file
                     # marks the job for retry on the next (resumed) run.
                     failures[job.out_name] = f"{type(e).__name__}: {e}"
                     continue
                 pending.append(
-                    (job, pool.submit(_finish, job, eng, q, res, t0, dev))
+                    (job,
+                     pool.submit(_finish, job, eng, q, res, t_compare, dev))
                 )
                 _drain()
             _drain(block_all=True)
