@@ -6,6 +6,7 @@ coordinator) driving the orchestrator's --distributed stripe."""
 
 import json
 import os
+import pytest
 import random
 import socket
 import subprocess
@@ -74,8 +75,9 @@ def _write_samples(d: Path, rng: random.Random, n_samples=3, n_reads=24):
         (d / f"sample{s}.fasta").write_text("".join(lines))
 
 
-def test_multiprocess_distributed_sweep(tmp_path):
-    """Two REAL processes, jax.distributed over a localhost coordinator:
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multiprocess_distributed_sweep(tmp_path, nproc):
+    """nproc REAL processes, jax.distributed over a localhost coordinator:
     the merged --distributed sweep must equal the single-process sweep
     byte-for-byte, and the allreduce_sum'd global accepted count must be
     printed identically by both processes (SURVEY.md 5.8; replaces the
@@ -111,10 +113,10 @@ def test_multiprocess_distributed_sweep(tmp_path):
 
     dist_out = tmp_path / "dist_out"
     procs = []
-    for pid in range(2):
+    for pid in range(nproc):
         penv = dict(env)
         penv["IMSAME_COORDINATOR"] = f"127.0.0.1:{port}"
-        penv["IMSAME_NUM_PROCESSES"] = "2"
+        penv["IMSAME_NUM_PROCESSES"] = str(nproc)
         penv["IMSAME_PROCESS_ID"] = str(pid)
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "imsame_tpu.orchestrator",
@@ -149,5 +151,5 @@ def test_multiprocess_distributed_sweep(tmp_path):
         json.loads(p.read_text())["accepted"]
         for p in ref_out.glob("*.align.json")
     )
-    assert tallies == [want_total, want_total]
+    assert tallies == [want_total] * nproc
     assert want_total > 0
