@@ -143,6 +143,50 @@ def test_failure_isolation(tmp_path):
     assert not (out / "a-b.r.align").exists()  # eligible for resume/retry
 
 
+def test_render_worker_failure_isolation(tmp_path):
+    """A failure on the deferred-render worker thread (render_report runs
+    there since round 4) must be recorded like a compare-side failure:
+    no output file (eligible for resume), entry in failures, other jobs
+    unaffected."""
+    import json
+
+    from imsame_tpu.orchestrator import AllVsAllRunner, list_samples
+    from imsame_tpu.pipeline import TpuEngine
+
+    d = tmp_path / "samples"
+    d.mkdir()
+    (d / "a.fasta").write_text(">r0\nACGTACGTACGTACGTACGT\n")
+    (d / "b.fasta").write_text(">r0\nACGTACGTACGTACGTACGT\n")
+    out = tmp_path / "out"
+    runner = AllVsAllRunner(str(out))
+    orig = TpuEngine.render_report
+
+    def boom(self, q, result, dev=None):
+        if getattr(self, "_boom", False):
+            raise RuntimeError("injected render failure")
+        return orig(self, q, result, dev=dev)
+
+    orig_engine_for = runner._engine_for
+
+    def mark(job):
+        eng = orig_engine_for(job)
+        eng._boom = job.reverse
+        return eng
+
+    runner._engine_for = mark
+    TpuEngine.render_report = boom
+    try:
+        stats = runner.run(list_samples(str(d), "fasta"))
+    finally:
+        TpuEngine.render_report = orig
+    assert "a-b.align" in stats  # forward job completed
+    assert "a-b.r.align" not in stats
+    assert runner.failures["a-b.r.align"].startswith("RuntimeError")
+    assert not (out / "a-b.r.align").exists()  # eligible for retry
+    failp = out / "failures.host0.json"
+    assert "a-b.r.align" in json.loads(failp.read_text())
+
+
 def test_engine_cache_lru_bound_and_index_persistence(tmp_path):
     """BASELINE config 5 hardening: a sweep holds at most max_engines
     device-resident engines, and each sample's index is built once and
