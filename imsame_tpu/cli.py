@@ -18,12 +18,35 @@ from .pipeline import TpuEngine
 from .utils.timing import gcups
 
 
+# Byte-exact copy of the reference's --help block (src/IMSAME.c:526-538;
+# printed verbatim, then exit(1) exactly like the reference).  The unbalanced
+# brackets on -coverage/-identity/-igap/-egap are the reference's own.
+REFERENCE_HELP = (
+    "USAGE:\n"
+    "           IMSAME -query [query] -db [database]\n"
+    "OPTIONAL:\n"
+    "           -n_threads  [Integer:   0<n_threads] (default 4)\n"
+    "           -evalue     [Double:    0<=pval<1] (default: 1 * 10^-20)\n"
+    "           -coverage   [Double:    0<coverage<=1 (default: 0.5)\n"
+    "           -identity   [Double:    0<identity<=1 (default: 0.5)\n"
+    "           -igap       [Integer:   (default: 5)\n"
+    "           -egap       [Integer:   (default: 2)\n"
+    "           -out        [File path]\n"
+    "           --verbose   Turns verbose on\n"
+    "           --help      Shows help for program usage\n"
+)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="imsame-tpu",
         description="TPU-native all-vs-all metagenome read comparison "
         "(capabilities of the reference IMSAME binary)",
+        add_help=False,  # --help is reference-parity (REFERENCE_HELP);
+        # the argparse-generated help lives on --help-tpu
     )
+    p.add_argument("--help-tpu", action="help",
+                   help="full flag listing (incl. --tpu-* engine tunables)")
     p.add_argument("-query", required=True, help="query FASTA")
     p.add_argument("-db", required=True, help="database FASTA")
     p.add_argument("-out", default=None, help="alignment report output path")
@@ -71,6 +94,12 @@ def main(argv=None) -> int:
     (src/IMSAME.c:63,102,106,295,317,407,416,470-473), with wall-clock
     timings where the reference reports clock() CPU-seconds."""
     t0 = time.perf_counter()
+    # Reference parity: --help anywhere in argv prints the usage block and
+    # exits 1, before any other flag handling (src/IMSAME.c:525-539).
+    scan = sys.argv[1:] if argv is None else list(argv)
+    if "--help" in scan:
+        sys.stdout.write(REFERENCE_HELP)
+        return 1
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 

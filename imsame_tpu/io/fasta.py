@@ -323,7 +323,10 @@ def read_fasta_stream(
                 start_parts.append(st + total)
                 headers.extend(hd)
                 total += len(c)
-            in_read = in_read or (b">" in data)
+            # a header only counts at line start (matching the parser's
+            # semantics): a stray mid-line '>' before the first real
+            # header must not flip continuation mode (ADVICE r4)
+            in_read = in_read or data.startswith(b">") or (b"\n>" in data)
             pending_fresh = next_fresh
     if not codes_parts:
         return SeqInfo(

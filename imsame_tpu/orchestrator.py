@@ -104,6 +104,7 @@ class AllVsAllRunner:
         )
         self._save_threads: List[threading.Thread] = []
         self._prefetch: Optional[Tuple[Tuple[str, bool], object]] = None
+        self._tmp_swept = False
 
     def _load_query(self, job: PairJob) -> SeqInfo:
         q = self._queries.get(job.qname)
@@ -124,6 +125,15 @@ class AllVsAllRunner:
             return None
         cache_dir = self.outdir / ".index"
         cache_dir.mkdir(exist_ok=True)
+        if not self._tmp_swept:
+            # a process killed mid-save leaves orphan {stem}.tmpXXXX.npz
+            # files (never loaded; swept here on the next resumed sweep)
+            self._tmp_swept = True
+            for orphan in cache_dir.glob("*.tmp*.npz"):
+                try:
+                    orphan.unlink()
+                except OSError:
+                    pass
         path = cache_dir / f"{key[0]}{'.r' if key[1] else ''}.npz"
         if path.exists():
             try:
@@ -192,7 +202,12 @@ class AllVsAllRunner:
                 eng = self._build_engine(job)
             self._engines[key] = eng
         self._engines.move_to_end(key)
-        while len(self._engines) > self.max_engines:
+        # The in-flight prefetch slot counts against the HBM bound: while
+        # a prefetch engine is building off-LRU, evict down one extra so
+        # resident device indexes never exceed max_engines (+1 transient
+        # from an evicted engine kept alive by a pending render future).
+        cap = self.max_engines - (1 if self._prefetch is not None else 0)
+        while len(self._engines) > max(cap, 1):
             self._engines.popitem(last=False)
         return eng
 

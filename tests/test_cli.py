@@ -64,6 +64,27 @@ def test_cli_stdout_info_parity(tmp_path, capsys):
     assert masked_info(ours) == masked_info(ref_stdout)
 
 
+def test_cli_help_byte_parity(capsys):
+    """--help prints the reference's usage block verbatim and exits 1
+    (src/IMSAME.c:525-539); golden-checked against the live binary when
+    available, and against the pinned copy always."""
+    rc = cli.main(["--help"])
+    assert rc == 1
+    ours = capsys.readouterr().out
+    assert ours == cli.REFERENCE_HELP
+
+    ref = reference_binaries()
+    if ref is None:
+        return
+    import subprocess
+
+    r = subprocess.run(
+        [str(ref[0]), "--help"], capture_output=True, text=True, timeout=30
+    )
+    assert r.returncode == 1
+    assert ours == r.stdout
+
+
 def test_cli_flag_negation():
     args = cli.build_parser().parse_args(
         ["-query", "q", "-db", "d", "-igap", "3", "-egap", "1"]

@@ -6,7 +6,8 @@ pair already covered elsewhere:
 
   * oracle parity of the jnp stats aligner at the 512 bucket,
   * jnp stats vs jnp forward+traceback bit-equality at 512..3072,
-  * Pallas (interpret) bit-equality at 512/1024,
+  * Pallas (interpret) bit-equality at 512/1024 (plain kernel) and
+    512/3072 (production pipe3 kernel),
   * the render ladder's per-L bp-tensor cap,
   * end-to-end byte parity vs the reference binary with reads spanning
     ~300..3000 bp, including the exact 3000 bp boundary, and the abort
@@ -116,6 +117,36 @@ def test_stats_pallas_interpret_long(L):
     jxl, jyl = jnp.asarray(xlen), jnp.asarray(ylen)
     ref = nw_stats_batch(jX, jY, jxl, jyl, -5, -2, max_len=L)
     got = nw_stats_batch_pallas(
+        jX, jY, jxl, jyl, -5, -2, max_len=L, interpret=True
+    )
+    for f in ("best_score", "best_i", "best_j", "length", "identities"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)), err_msg=f
+        )
+
+
+@pytest.mark.parametrize("L", [512, 3072])
+def test_stats_pallas_pipe3_interpret_long(L):
+    """v3 registerized pipelined kernel (interpret) == jnp at long buckets.
+
+    pipe3 is the production stats dispatch for every length bucket (all
+    default nw_stats_batches are multiples of RBLK2*PIPE2_K=256,
+    ops/resolve.py) -- the unguarded-shift / 13-bit d_loc packing /
+    phase-harvest logic must hold at long L, not just the 128/256 shapes
+    the short tests cover (ADVICE r4)."""
+    from imsame_tpu.ops.nw_pallas import (
+        PIPE2_K,
+        RBLK2,
+        nw_stats_batch_pallas_pipe3,
+    )
+
+    rng = np.random.default_rng(200 + L)
+    B = RBLK2 * PIPE2_K  # minimum legal pipe3 batch (256 pairs)
+    X, Y, xlen, ylen = _long_pairs(rng, B, L)
+    jX, jY = jnp.asarray(X), jnp.asarray(Y)
+    jxl, jyl = jnp.asarray(xlen), jnp.asarray(ylen)
+    ref = nw_stats_batch(jX, jY, jxl, jyl, -5, -2, max_len=L)
+    got = nw_stats_batch_pallas_pipe3(
         jX, jY, jxl, jyl, -5, -2, max_len=L, interpret=True
     )
     for f in ("best_score", "best_i", "best_j", "length", "identities"):
