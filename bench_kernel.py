@@ -34,6 +34,7 @@ def main():
         nw_stats_batch_pallas_pipe,
         nw_stats_batch_pallas_pipe2,
         nw_stats_batch_pallas_pipe3,
+        nw_stats_batch_pallas_pipe4,
     )
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
@@ -58,7 +59,8 @@ def main():
     ref = None
     for name, fn in (("pipe", nw_stats_batch_pallas_pipe),
                      ("pipe2", nw_stats_batch_pallas_pipe2),
-                     ("pipe3", nw_stats_batch_pallas_pipe3)):
+                     ("pipe3", nw_stats_batch_pallas_pipe3),
+                     ("pipe4", nw_stats_batch_pallas_pipe4)):
         try:
             out = fn(*args, max_len=L)
             got = tuple(

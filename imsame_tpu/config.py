@@ -46,7 +46,10 @@ class Config:
     # pad up to one of these exactly: each distinct shape is one XLA
     # compile, and compilation behind a tunneled TPU costs tens of
     # seconds, so shapes must be few and fixed.
-    gate_chunks: tuple = (1 << 19, 1 << 16)
+    # The top size is sized for ~100k-read compares (the stage-2 gate
+    # ships ~12M candidates; behind a tunneled TPU every chunk dispatch
+    # costs a ~27 ms round trip, so 6 big chunks beat 24 medium ones).
+    gate_chunks: tuple = (1 << 21, 1 << 19, 1 << 16)
     # First-tier extension window (bases).  Random candidates' walks die
     # within a few mismatches, provably inside this window (the kernel
     # flags exactness); only escapees re-run at the full read window.
@@ -60,7 +63,7 @@ class Config:
     # high enough that a whole stage is usually one dispatch; the render
     # path materializes ~0.5 MB/pair of backpointers at the 256-bucket,
     # so 2048 pairs ~= 1 GB HBM.
-    nw_stats_batches: tuple = (8192, 4096, 2048, 1024, 512, 256)
+    nw_stats_batches: tuple = (32768, 8192, 4096, 2048, 1024, 512, 256)
     nw_render_batches: tuple = (2048, 1024, 512, 256)
     # HBM budget for one render chunk's backpointer tensor ([B, 2L, L]
     # int32 = 8*L^2 bytes/pair: ~0.5 MB at the 256 bucket but ~75 MB at

@@ -92,6 +92,86 @@ def flat_gate_packed(
 
 
 @functools.partial(jax.jit, static_argnames=("window", "packed_idx"))
+def flat_gate_seg(
+    qp: jax.Array,  # [n_q, WP] uint32 packed query rows
+    dp: jax.Array,  # [n_db, WP] uint32 packed db rows
+    qlen: jax.Array,  # [n_q] int32
+    dlen: jax.Array,  # [n_db] int32
+    idx_tab,  # packed index words, or (idx_pos, idx_sid, db_start) triple
+    cand: jax.Array,  # [C] int32 words: new_seg<<31 | qoff_delta<<25 | hit
+    rtab: jax.Array,  # [S] int32 query read id per segment
+    rbase: jax.Array,  # [S] int32 qoff decode base per segment
+    thr_tab: jax.Array,  # [n_q] int32 per-READ raw-score threshold
+    *,
+    window: int,
+    packed_idx: bool,
+) -> jax.Array:
+    """Segment-encoded twin of flat_gate_packed at HALF the per-candidate
+    H2D bytes -- the dominant cost of large compares behind a tunneled
+    TPU (~100 MB/s; at 100k reads the gate ships ~12M candidates).
+
+    The host exploits stream order (read-major, qoff non-decreasing
+    within a read): each candidate is ONE int32 -- bit 31 a new-segment
+    flag, bits 25..30 the qoff delta vs the previous candidate (0..63),
+    bits 0..24 the index-hit row -- plus two per-SEGMENT words (read id,
+    qoff decode base).  Segments break on read change, qoff-delta
+    overflow, or chunk start, so decoding is exact:
+
+        rix  = cumsum(flag) - 1
+        r    = rtab[rix]
+        qoff = rbase[rix] + cumsum(delta)
+
+    Requires index rows < 2^25 (the host falls back to flat_gate_packed
+    otherwise) and segments <= S (host checks; S is a fixed shape for
+    compile reuse).  Padding candidates decode to garbage but their bits
+    are ignored by the caller, like flat_gate_packed."""
+    C = cand.shape[0]
+    w = jax.lax.bitcast_convert_type(cand, jnp.uint32)
+    flag = (w >> jnp.uint32(31)).astype(jnp.int32)
+    qd = ((w >> jnp.uint32(25)) & jnp.uint32(0x3F)).astype(jnp.int32)
+    hit = (w & jnp.uint32(0x1FFFFFF)).astype(jnp.int32)
+    rix = jnp.cumsum(flag) - 1
+    r = rtab[jnp.clip(rix, 0, rtab.shape[0] - 1)]
+    qoff = rbase[jnp.clip(rix, 0, rbase.shape[0] - 1)] + jnp.cumsum(qd)
+    passes, exact = gate_core(
+        qp, dp, qlen, dlen, idx_tab,
+        r, hit, qoff, thr_tab[r], window=window, packed_idx=packed_idx,
+    )
+    stacked = jnp.stack([passes, exact])  # [2, C]
+    bits = stacked.reshape(2, C // 32, 32).astype(jnp.int32)
+    weights = (jnp.int32(1) << jnp.arange(32, dtype=jnp.int32))[None, None, :]
+    return jnp.sum(bits * weights, axis=2).astype(jnp.int32)
+
+
+def encode_seg_chunk(rids, qoffs, hits, size: int):
+    """Host-side segment encoding for one chunk slice (numpy, vectorized).
+
+    Returns (cand[size] int32, rtab[n_seg] int32, rbase[n_seg] int32);
+    the caller pads rtab/rbase to its fixed segment-capacity shape (or
+    falls back to the 8-byte format when n_seg exceeds every capacity)."""
+    import numpy as np
+
+    n = len(rids)
+    new_seg = np.empty(n, bool)
+    new_seg[0] = True
+    dq = np.empty(n, np.int64)
+    dq[0] = 0
+    dq[1:] = qoffs[1:].astype(np.int64) - qoffs[:-1]
+    new_seg[1:] = (rids[1:] != rids[:-1]) | (dq[1:] < 0) | (dq[1:] > 63)
+    qd = np.where(new_seg, 0, dq)
+    cs = np.cumsum(qd)
+    cand = np.zeros(size, np.int32)
+    cand[:n] = (
+        (new_seg.astype(np.uint32) << np.uint32(31))
+        | (qd.astype(np.uint32) << np.uint32(25))
+        | hits.astype(np.uint32)
+    ).view(np.int32)
+    rtab = rids[new_seg].astype(np.int32)
+    rbase = (qoffs.astype(np.int64) - cs)[new_seg].astype(np.int32)
+    return cand, rtab, rbase
+
+
+@functools.partial(jax.jit, static_argnames=("window", "packed_idx"))
 def flat_gate(
     qp: jax.Array,  # [n_q, WP] uint32 packed query rows
     dp: jax.Array,  # [n_db, WP] uint32 packed db rows

@@ -1675,3 +1675,354 @@ def nw_stats_batch_pallas(
         length=bw[:, 0] & 0xFFFF,
         identities=bw[:, 0] >> 16,
     )
+
+
+# ---------------------------------------------------------------------------
+# v4: dual-block interleaved twin of the v3 kernel (ILP restructure).
+#
+# The v3 kernel is latency-bound, not op-bound: UNROLL/RBLK/K sweeps are
+# flat, feature-stripped probes (no stats, no rolls) move wall <20%, and
+# effective issue sits at ~1.6 vreg-ops/cycle -- the wavefront recurrence
+# is one long dependency chain per diagonal, so the in-order VPU stalls on
+# op latency.  Widening the ops (bigger RBLK2) adds sublane micro-ops
+# *within* each op but cannot overlap two dependent ops.  This kernel
+# instead processes TWO independent RBLK2-row blocks (disjoint pair
+# streams) in one grid step, with their per-diagonal phases emitted
+# INTERLEAVED (A-phase, B-phase, A-phase, ...), so consecutive
+# instructions belong to independent SSA chains and each chain's op
+# latency hides behind the other's issue.  Per-half semantics are exactly
+# _make_nw_stats_pipe3_kernel (same masks, same order) => bit-equal.
+
+def _make_nw_stats_pipe4_kernel(max_len: int, n_blk: int = 2,
+                                rblk: int = RBLK2):
+    L = max_len
+    PHASE = L // UNROLL2
+    K = PIPE2_K
+    HS = tuple(range(n_blk))
+
+    # carried state rows, in scratch order (22 per half)
+    _STATE = (
+        "s_dm1", "s_dm2", "sR_dm1", "sR_dm2", "sR_dm3",
+        "wR_dm1", "wR_dm2", "wR_dm3",
+        "mf_s", "mf_xy", "mf_w", "mc_s", "mc_x", "mc_w",
+        "yd", "xc", "xlen", "ylen", "acc", "accw", "sta", "stw",
+    )
+
+    def kernel(igap_ref, egap_ref,
+               fx_ref, fy_ref, fy0_ref, fxl_y_ref, fyl_y_ref,
+               bs_ref, bi_ref, bj_ref, bw_ref, *scr):
+        g = pl.program_id(1)
+        dbase = g * jnp.int32(UNROLL2)
+        q = g // jnp.int32(PHASE)
+        ebase = (g - q * jnp.int32(PHASE)) * jnp.int32(UNROLL2)
+        igap = igap_ref[0, 0]
+        egap = egap_ref[0, 0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rblk, L), 1)
+        lane4096 = lane * jnp.int32(4096)
+        lane_egap = lane * egap
+        NEG32 = jnp.int32(NEG)
+        P4 = jnp.int32(POINT)
+        M4 = jnp.int32(-POINT)
+        Z32 = jnp.int32(0)
+        ONE = jnp.int32(1)
+        SENT = jnp.int32(-(2 ** 31) + 1)
+        lane_is0 = lane == 0
+        lane_ge2 = lane >= 2
+        IE = igap - egap
+
+        def roll1(a):
+            return pltpu.roll(a, jnp.int32(1), axis=1)
+
+        def shift1(a, fill):
+            return jnp.where(lane_is0, fill, roll1(a))
+
+        refs = {h: dict(zip(_STATE, scr[22 * h: 22 * (h + 1)]))
+                for h in HS}
+
+        @pl.when(dbase == 0)
+        def _init():
+            neg = jnp.full((rblk, L), NEG, jnp.int32)
+            zero = jnp.zeros((rblk, L), jnp.int32)
+            sent = jnp.full((rblk, L), SENT, jnp.int32)
+            for h in HS:
+                rf = refs[h]
+                for nm in ("s_dm1", "s_dm2", "sR_dm1", "sR_dm2", "sR_dm3",
+                           "mf_s", "mc_s"):
+                    rf[nm][:] = neg
+                for nm in ("wR_dm1", "wR_dm2", "wR_dm3", "mf_xy", "mf_w",
+                           "mc_x", "mc_w", "yd", "xc", "xlen", "ylen",
+                           "accw", "stw"):
+                    rf[nm][:] = zero
+                rf["acc"][:] = sent
+                rf["sta"][:] = sent
+
+        # load carried state + feed blocks once per grid step, per half
+        st = {h: {nm: refs[h][nm][:] for nm in _STATE} for h in HS}
+        lo = {h: slice(h * rblk, (h + 1) * rblk) for h in HS}
+        fd = {
+            h: dict(
+                fx=fx_ref[0, lo[h], :], fy=fy_ref[0, lo[h], :],
+                fy0=fy0_ref[0, lo[h], :], fxl=fxl_y_ref[0, lo[h], :],
+                fyl=fyl_y_ref[0, lo[h], :],
+            )
+            for h in HS
+        }
+
+        for u in range(UNROLL2):
+            e = ebase + jnp.int32(u)
+            young = lane <= e
+            j_idx = (e - lane) + jnp.where(young, Z32, jnp.int32(L))
+            eq_e = lane == e
+            bmask = lane_is0 | eq_e
+            jge2 = j_idx >= 2
+            lanej = lane4096 + j_idx
+            t = {h: {} for h in HS}
+
+            def p_feed(s, t, f):
+                t["x_new"] = f["fx"][:, u : u + 1]
+                t["y_new"] = f["fy"][:, u : u + 1]
+                t["y0"] = f["fy0"][:, u : u + 1]
+                t["xl_y"] = f["fxl"][:, u : u + 1]
+                t["yl_y"] = f["fyl"][:, u : u + 1]
+
+            def p_handover(s, t, f):
+                s["sta"] = jnp.where(eq_e, s["acc"], s["sta"])
+                s["stw"] = jnp.where(eq_e, s["accw"], s["stw"])
+                s["acc"] = jnp.where(eq_e, SENT, s["acc"])
+                s["xc"] = jnp.where(eq_e, t["x_new"], s["xc"])
+                s["xlen"] = jnp.where(eq_e, t["xl_y"], s["xlen"])
+                s["ylen"] = jnp.where(eq_e, t["yl_y"], s["ylen"])
+                s["yd"] = shift1(s["yd"], t["y_new"])
+
+            def p_masks(s, t, f):
+                valid = (lane < s["xlen"]) & (j_idx < s["ylen"])
+                border = valid & bmask
+                t["valid"] = valid
+                t["border"] = border
+                t["inner"] = valid ^ border
+                is_match = s["xc"] == s["yd"]
+                t["s_pm"] = jnp.where(is_match, P4, M4)
+                t["diag_add"] = jnp.where(
+                    is_match, jnp.int32((1 << 16) + 1), ONE
+                )
+                t["t_im2_jm1"] = roll1(s["sR_dm3"])
+                t["w_im2_jm1"] = roll1(s["wR_dm3"])
+
+            def p_mf(s, t, f):
+                ij2 = t["inner"] & jge2
+                t["ij2"] = ij2
+                mf_upd = ij2 & (s["mf_s"] <= s["s_dm2"])
+                s["mf_s"] = jnp.where(mf_upd, s["sR_dm3"], s["mf_s"])
+                s["mf_xy"] = jnp.where(
+                    mf_upd, lanej - jnp.int32(4098), s["mf_xy"]
+                )
+                s["mf_w"] = jnp.where(mf_upd, s["wR_dm3"], s["mf_w"])
+
+            def p_scores(s, t, f):
+                s_pm = t["s_pm"]
+                score_diag = s["sR_dm2"] + s_pm
+                dxy = lanej - s["mf_xy"]
+                dyl = dxy & jnp.int32(4095)
+                dxl = dxy >> jnp.int32(12)
+                t["dyl"], t["dxl"] = dyl, dxl
+                score_left = jnp.where(
+                    jge2, s["mf_s"] + IE + dyl * egap + s_pm, NEG32
+                )
+                score_right = jnp.where(
+                    lane_ge2,
+                    (s["mc_s"] + IE - s["mc_x"] * egap) + lane_egap + s_pm,
+                    NEG32,
+                )
+                pick_diag = (score_diag >= score_left) & (
+                    score_diag >= score_right
+                )
+                pick_right = (~pick_diag) & (score_right > score_left)
+                t["pick_diag"], t["pick_right"] = pick_diag, pick_right
+                t["cell"] = jnp.where(
+                    pick_diag, score_diag,
+                    jnp.where(pick_right, score_right, score_left),
+                )
+
+            def p_w(s, t, f):
+                dxl, dyl = t["dxl"], t["dyl"]
+                add_left = jnp.where(dxl > dyl, dxl, dyl)
+                dxr = lane - s["mc_x"]
+                add_right = jnp.where(dxr > 1, dxr, ONE)
+                w_new = jnp.where(
+                    t["pick_diag"],
+                    s["wR_dm2"] + t["diag_add"],
+                    jnp.where(
+                        t["pick_right"],
+                        s["mc_w"] + add_right,
+                        s["mf_w"] + add_left,
+                    ),
+                )
+                cell = jnp.where(t["border"], t["s_pm"], t["cell"])
+                t["s0"] = jnp.where(t["valid"], cell, NEG32)
+                t["w0"] = jnp.where(t["inner"], w_new, Z32)
+
+            def p_mc(s, t, f):
+                mc_upd = t["ij2"] & lane_ge2 & (t["t_im2_jm1"] > s["mc_s"])
+                s["mc_s"] = jnp.where(mc_upd, t["t_im2_jm1"], s["mc_s"])
+                s["mc_x"] = jnp.where(mc_upd, lane - jnp.int32(2), s["mc_x"])
+                s["mc_w"] = jnp.where(mc_upd, t["w_im2_jm1"], s["mc_w"])
+                col0_ok = t["xl_y"] > e
+                col0_score = jnp.where(t["x_new"] == t["y0"], P4, M4)
+                upd_col = eq_e & col0_ok
+                s["mf_s"] = jnp.where(upd_col, col0_score, s["mf_s"])
+                s["mf_xy"] = jnp.where(upd_col, lane4096, s["mf_xy"])
+                s["mf_w"] = jnp.where(upd_col, Z32, s["mf_w"])
+
+            def p_adv(s, t, f):
+                row0_ok = t["yl_y"] > e
+                new_col_s = jnp.where(row0_ok, t["s0"][:, 0:1], NEG32)
+                s["mc_s"] = shift1(s["mc_s"], new_col_s)
+                s["mc_x"] = shift1(s["mc_x"], Z32)
+                s["mc_w"] = shift1(s["mc_w"], Z32)
+                elig = t["inner"] & (
+                    (lane == s["xlen"] - 1) | (j_idx == s["ylen"] - 1)
+                )
+                packed = (t["s0"] << jnp.int32(13)) | (lane + j_idx)
+                npm = jnp.where(elig, packed, SENT)
+                upd = npm > s["acc"]
+                s["acc"] = jnp.where(upd, npm, s["acc"])
+                s["accw"] = jnp.where(upd, t["w0"], s["accw"])
+
+            def p_rot(s, t, f):
+                s["s_dm2"] = s["s_dm1"]
+                s["s_dm1"] = t["s0"]
+                s["sR_dm3"] = s["sR_dm2"]
+                s["sR_dm2"] = s["sR_dm1"]
+                s["sR_dm1"] = roll1(t["s0"])
+                s["wR_dm3"] = s["wR_dm2"]
+                s["wR_dm2"] = s["wR_dm1"]
+                s["wR_dm1"] = roll1(t["w0"])
+
+            for ph in (p_feed, p_handover, p_masks, p_mf, p_scores,
+                       p_w, p_mc, p_adv, p_rot):
+                for h in HS:
+                    ph(st[h], t[h], fd[h])
+
+        for h in HS:
+            for nm in _STATE:
+                refs[h][nm][:] = st[h][nm]
+
+        @pl.when((ebase == jnp.int32(L - UNROLL2)) & (q >= 1))
+        def _flush():
+            slot = q - jnp.int32(1)
+            kiota = jax.lax.broadcasted_iota(
+                jnp.int32, (n_blk * rblk, K), 1
+            )
+            mask = kiota == slot
+            vals = {"bs": [], "bi": [], "bj": [], "bw": []}
+            for h in HS:
+                Ap = refs[h]["sta"][:]
+                Wp = refs[h]["stw"][:]
+                amax = jnp.max(Ap, axis=1, keepdims=True)
+                any_ = amax != SENT
+                s_l = Ap >> jnp.int32(13)
+                smax = amax >> jnp.int32(13)
+                bi_v = jnp.max(
+                    jnp.where(s_l == smax, lane, jnp.int32(-1)),
+                    axis=1, keepdims=True,
+                )
+                at = lane == bi_v
+                dsel = jnp.sum(
+                    jnp.where(at, Ap & jnp.int32(8191), Z32),
+                    axis=1, keepdims=True,
+                )
+                wsel = jnp.sum(
+                    jnp.where(at, Wp, Z32), axis=1, keepdims=True
+                )
+                vals["bs"].append(jnp.where(any_, smax, SENT))
+                vals["bi"].append(jnp.where(any_, bi_v, Z32))
+                vals["bj"].append(jnp.where(any_, dsel - bi_v, Z32))
+                vals["bw"].append(jnp.where(any_, wsel, Z32))
+            for nm, ref in (("bs", bs_ref), ("bi", bi_ref),
+                            ("bj", bj_ref), ("bw", bw_ref)):
+                full = jnp.concatenate(vals[nm], axis=0)  # (2*RBLK2, 1)
+                ref[:] = jnp.where(mask, full, ref[:])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_len", "interpret", "n_blk", "rblk")
+)
+def nw_stats_batch_pallas_pipe4(
+    X: jax.Array,  # [B, L] uint8 codes
+    Y: jax.Array,
+    xlen: jax.Array,  # [B]
+    ylen: jax.Array,
+    igap,
+    egap,
+    *,
+    max_len: int,
+    interpret: bool = False,
+    n_blk: int = 2,
+    rblk: int = RBLK2,
+) -> NWStatsResult:
+    """v4 multi-block interleaved stats aligner (see
+    _make_nw_stats_pipe4_kernel).  Bit-equal to nw_stats_batch and the
+    v1/v2/v3 Pallas kernels; requires B % (n_blk*rblk*PIPE2_K) == 0."""
+    B, L = X.shape
+    K = PIPE2_K
+    R2 = n_blk * rblk
+    assert L == max_len and L % 128 == 0
+    assert B % (R2 * K) == 0, (B, R2, K)
+    assert L % UNROLL2 == 0
+    R = B // K
+    NS = (K + 1) * L
+    n_grid = NS // UNROLL2
+    grid = (R // R2, n_grid)
+
+    Xi = X.astype(jnp.int32)
+    Yi = Y.astype(jnp.int32)
+    xl = xlen.astype(jnp.int32)
+    yl = ylen.astype(jnp.int32)
+
+    padL = jnp.zeros((R, L), jnp.int32)
+    g3 = lambda a: a.reshape(R, n_grid, UNROLL2).transpose(1, 0, 2)
+    fx = g3(jnp.concatenate([Xi.reshape(R, K * L), padL], axis=1))
+    fy = g3(jnp.concatenate([Yi.reshape(R, K * L), padL], axis=1))
+    rep = lambda v: jnp.repeat(v.reshape(R, K), L, axis=1)
+    fy0 = g3(jnp.concatenate([rep(Yi[:, 0]), padL], axis=1))
+    fxl_y = g3(jnp.concatenate([rep(xl), padL], axis=1))
+    fyl_y = g3(jnp.concatenate([rep(yl), padL], axis=1))
+
+    kernel = _make_nw_stats_pipe4_kernel(L, n_blk, rblk)
+    scr = [pltpu.VMEM((rblk, L), jnp.int32)] * (22 * n_blk)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((R, K), jnp.int32) for _ in range(4)
+    )
+    smem11 = pl.BlockSpec((1, 1), lambda b, g: (0, 0), memory_space=pltpu.SMEM)
+    feedU = lambda: pl.BlockSpec(
+        (1, R2, UNROLL2), lambda b, g: (g, b, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (R2, K), lambda b, g: (b, 0), memory_space=pltpu.VMEM
+    )
+    bs, bi, bj, bw = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem11, smem11,
+                  feedU(), feedU(), feedU(), feedU(), feedU()],
+        out_specs=tuple(out_spec for _ in range(4)),
+        out_shape=out_shape,
+        scratch_shapes=scr,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(
+        jnp.asarray(igap, jnp.int32).reshape(1, 1),
+        jnp.asarray(egap, jnp.int32).reshape(1, 1),
+        fx, fy, fy0, fxl_y, fyl_y,
+    )
+    return NWStatsResult(
+        best_score=bs.reshape(B),
+        best_i=bi.reshape(B),
+        best_j=bj.reshape(B),
+        length=bw.reshape(B) & 0xFFFF,
+        identities=bw.reshape(B) >> 16,
+    )

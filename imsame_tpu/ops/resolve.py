@@ -27,7 +27,17 @@ from .nw_pallas import (
     nw_stats_batch_pallas,
     nw_stats_batch_pallas_pipe,
     nw_stats_batch_pallas_pipe3,
+    nw_stats_batch_pallas_pipe4,
 )
+
+# v4 multi-block interleave variant per length bucket (measured on TPU
+# v5e, bit-equal; nw_pallas._make_nw_stats_pipe4_kernel).  Wider/more
+# blocks win where VMEM allows: at L=256 the 2x64 layout lifts the
+# kernel 16.7 -> 25.3 GCUPS; at L >= 1024 the wavefront is already
+# lane-saturated so v4 ~ties v3 (26-28 GCUPS) and larger layouts exceed
+# the 16 MB scoped-VMEM limit (2x64 fails to compile at 1024, 2x32 at
+# 2048) -- buckets past 1024 stay on the v3 kernel.
+PIPE4_VARIANTS = {256: (2, 64), 512: (2, 64), 1024: (2, 32)}
 from .traceback import TracebackResult, traceback_batch
 
 
@@ -109,7 +119,16 @@ def nw_stats_rows(
     xl = dlen[s]
     yl = qlen[r]
     B = r.shape[0]
+    v4 = PIPE4_VARIANTS.get(max_len)
     if (
+        use_pallas and pipe and v4 is not None
+        and B % (v4[0] * v4[1] * PIPE2_K) == 0
+        and max_len % 8 == 0
+    ):
+        nw_fn = functools.partial(
+            nw_stats_batch_pallas_pipe4, n_blk=v4[0], rblk=v4[1]
+        )
+    elif (
         use_pallas and pipe and B % (RBLK2 * PIPE2_K) == 0
         and max_len % 8 == 0
     ):

@@ -58,7 +58,12 @@ from .index.kmer import KmerIndex, build_index, rolling_keys
 from .io.fasta import CODE_TO_CHAR, SeqInfo
 from .io.reconstruct import backtrack_from_chain
 from .io.report import format_record, render_alignment
-from .ops.candidates import flat_gate, flat_gate_packed
+from .ops.candidates import (
+    encode_seg_chunk,
+    flat_gate,
+    flat_gate_packed,
+    flat_gate_seg,
+)
 from .ops.enum_gate import (
     build_enum_tables,
     enum_gate_chunk,
@@ -100,6 +105,22 @@ class PipelineResult:
     @property
     def jaccard(self) -> float:
         return self.accepted / ((self.n_db + self.n_query) - self.accepted)
+
+
+def _host_async(x) -> None:
+    """Enqueue the D2H copy of a just-dispatched result NOW.
+
+    Device ops (and transfers) execute in dispatch order on one stream;
+    a device_get issued later in host code waits behind everything queued
+    in between -- at 100k-read scale, wave-1 NW stats (a few hundred KB)
+    were measured waiting ~2.5 s behind ~100 MB of stage-2 candidate
+    uploads on the serial tunnel.  copy_to_host_async() right after the
+    dispatch puts the D2H in stream order immediately after the producing
+    kernel, so the later device_get finds the bytes already on host."""
+    try:
+        x.copy_to_host_async()
+    except Exception:
+        pass  # backend without async host copies: device_get pays instead
 
 
 def _pad_pow2_1d(
@@ -261,6 +282,7 @@ class TpuEngine:
         # Device handles of the last compare()'s query-side tables; the
         # render path re-runs the bp kernel on accepted pairs from these.
         self._last_dev: Optional[Tuple] = None
+        self.stage_stats: Dict[str, tuple] = {}
 
     # ------------------------------------------------------------------
     # Mesh plumbing (SURVEY.md 2a: data axis = the reference's pthread
@@ -516,28 +538,34 @@ class TpuEngine:
         the caller can overlap further host/gate work before paying the
         round trip in _nw_fetch_pairs."""
         pending = []
+        t0 = time.perf_counter()
         for chunk, rpad, spad, L in self._nw_chunks(
             r_ids, sids, qlens, self.cfg.nw_stats_batches
         ):
             res = self._nw_stats_dispatch(
                 d_qp, d_dp, np.stack([rpad, spad]), d_qlen, d_dlen, L
             )
+            _host_async(res)
             pending.append((chunk, res))
+        # sub-span of resolve.nw: host chunking + async dispatch calls
+        self.timer.accumulate("nw.dispatch", time.perf_counter() - t0)
         return len(r_ids), pending
 
-    @staticmethod
-    def _nw_fetch_pairs(P: int, pending) -> List[Tuple[int, int, int]]:
+    def _nw_fetch_pairs(self, P: int, pending, label: str = "nw.fetch") -> np.ndarray:
         """Fetch dispatched stats; one synchronization for every chunk
         (a device round trip costs ~30 ms behind the tunnel; stats come
-        back as one stacked [3, B] array per chunk).  Returns
-        (length, identities, ylen) per pair -- the accept-gate inputs."""
-        out: List = [None] * P
+        back as one stacked [3, B] array per chunk).  Returns a [P, 3]
+        int64 array of (length, identities, ylen) per pair -- the
+        accept-gate inputs -- assembled vectorized (a Python tuple per
+        pair cost ~0.5 s at 100k-read scale)."""
+        t0 = time.perf_counter()
         flat = jax.device_get([res for _, res in pending])
+        self.timer.accumulate(label, time.perf_counter() - t0)
+        t1 = time.perf_counter()
+        out = np.empty((P, 3), np.int64)
         for (chunk, _res), stats in zip(pending, flat):
-            for b, i in enumerate(chunk):
-                out[i] = (
-                    int(stats[0, b]), int(stats[1, b]), int(stats[2, b])
-                )
+            out[chunk] = stats[:, : len(chunk)].T
+        self.timer.accumulate("nw.scatter", time.perf_counter() - t1)
         return out
 
     def _run_nw_pairs(
@@ -641,18 +669,56 @@ class TpuEngine:
             take = min(rem, size)
             sl = slice(pos, pos + take)
             if packed:
-                cand = np.zeros((2, size), np.int32)
-                cand[0, :take] = hits[sl]
-                cand[1, :take] = b[sl].view(np.int32)
-                bits = self._gate_dispatch(
-                    d_qp,
-                    self._dp_cache[self._row_len],
-                    d_qlen,
-                    self._d_dlen,
-                    self._put_cand(cand),
-                    c,
-                    window,
-                )
+                bits = None
+                if (
+                    self._mesh is None
+                    and self._packed_idx
+                    and self._d_idx_tab.shape[0] <= (1 << 25)
+                    and not os.environ.get("IMSAME_GATE_NOSEG")
+                ):
+                    # Segment-encoded chunk: 4 B/candidate + ~8 B/segment
+                    # instead of 8 B/candidate -- candidate H2D is the
+                    # dominant large-compare cost behind the tunnel
+                    # (ops/candidates.py flat_gate_seg).
+                    rq_sl = b[sl]
+                    cand1, rtab, rbase = encode_seg_chunk(
+                        (rq_sl >> np.uint32(12)).astype(np.int32),
+                        (rq_sl & np.uint32(0xFFF)).astype(np.int32),
+                        hits[sl], size,
+                    )
+                    for cap in (size // 128, size // 8):
+                        if len(rtab) <= cap:
+                            rt = np.zeros(cap, np.int32)
+                            rb = np.zeros(cap, np.int32)
+                            rt[: len(rtab)] = rtab
+                            rb[: len(rtab)] = rbase
+                            bits = flat_gate_seg(
+                                d_qp,
+                                self._dp_cache[self._row_len],
+                                d_qlen,
+                                self._d_dlen,
+                                self._d_idx_tab,
+                                jnp.asarray(cand1),
+                                jnp.asarray(rt),
+                                jnp.asarray(rb),
+                                c,
+                                window=window,
+                                packed_idx=True,
+                            )
+                            break
+                if bits is None:
+                    cand = np.zeros((2, size), np.int32)
+                    cand[0, :take] = hits[sl]
+                    cand[1, :take] = b[sl].view(np.int32)
+                    bits = self._gate_dispatch(
+                        d_qp,
+                        self._dp_cache[self._row_len],
+                        d_qlen,
+                        self._d_dlen,
+                        self._put_cand(cand),
+                        c,
+                        window,
+                    )
             else:
                 if self._mesh is not None:
                     cand = np.zeros((5, size), np.int32)
@@ -688,6 +754,7 @@ class TpuEngine:
                         window=window,
                         packed_idx=self._packed_idx,
                     )
+            _host_async(bits)
             pending.append((pos, take, size, bits))
             pos += take
         self.timer.accumulate("gate.dispatch", time.perf_counter() - t_disp0)
@@ -813,6 +880,7 @@ class TpuEngine:
                 d_qp, d_dp, d_qlen, self._d_dlen, self._d_idx_tab,
                 self._put_cand_routed(cand), thr_tab,
             )
+            _host_async(bits)
             pending.append((perm, C, bits))
         self.timer.accumulate("gate.dispatch", time.perf_counter() - t_disp0)
         passes = np.zeros(N, bool)
@@ -889,6 +957,7 @@ class TpuEngine:
                 chunk=size, window=window, packed_idx=True,
                 row_len=self._row_len,
             )
+            _host_async(bits)
             pending.append((pos, take, size, bits))
             pos += take
         self.timer.accumulate("gate.dispatch", time.perf_counter() - t_disp0)
@@ -1083,6 +1152,9 @@ class TpuEngine:
         resolved = np.zeros(n, bool)
         rejected_keys = _KeySet()
         accepted_records: List[AcceptedRead] = []
+        # Per-stage counters (diagnostics; bench surfaces them): candidate
+        # counts, gate-pass counts and NW pair counts per stage.
+        ss = self.stage_stats = {}
 
         if idx.n_entries and n and Ccum[-1]:
             q_start = q.start.astype(np.int64)
@@ -1196,13 +1268,17 @@ class TpuEngine:
                 return pr, sids
 
             def gate_begin(read_ids, from_rank, to_rank):
-                """Dispatch a single-full-window gate for a rank window
-                WITHOUT fetching; returns a closure that fetches and maps
-                the passes later, so the gate's device time and round trip
-                hide behind the NW wave and the wave-1 judging.  Returns
-                None when this stage must run synchronously (enum path,
-                dict-routed mesh, or windows wide enough to need the
-                small-window escalation tier)."""
+                """Dispatch a gate for a rank window WITHOUT fetching;
+                returns a closure that fetches and maps the passes later,
+                so the gate's device time and round trip hide behind the
+                NW wave and the wave-1 judging.  The dispatch runs the
+                SMALL extension window first (these stages gate the full
+                streams of unresolved -- overwhelmingly random -- reads,
+                whose walks provably die inside it: 13.0 vs 7.4 Mcand/s
+                measured at W=64 vs 256); the rare escapees re-gate at
+                the full window inside finish().  Returns None when this
+                stage must run synchronously (enum path, dict-routed
+                mesh, or read windows past the packed-rq format)."""
                 packed = len(thr) < (1 << 20)
                 routed = (
                     packed
@@ -1217,25 +1293,42 @@ class TpuEngine:
                         read_ids, from_rank, to_rank
                     )
                 self._n_cands += len(rids)
+                w_small = self.cfg.gate_window_small
+                use_small = 0 < w_small < window
+                w1 = w_small if use_small else window
                 with self.timer.phase("resolve.extend"):
                     if packed:
                         rq = (
                             rids.astype(np.uint32) << np.uint32(12)
                         ) | qoffs.astype(np.uint32)
                         pending = self._gate_chunks_dispatch(
-                            True, hits, rq, d_thr, thr, d_qp, d_qlen, window
+                            True, hits, rq, d_thr, thr, d_qp, d_qlen, w1
                         )
                     else:
                         pending = self._gate_chunks_dispatch(
-                            False, hits, rids, qoffs, thr, d_qp, d_qlen,
-                            window,
+                            False, hits, rids, qoffs, thr, d_qp, d_qlen, w1
                         )
 
                 def finish():
                     with self.timer.phase("resolve.extend"):
-                        passes, _ = self._gate_chunks_fetch(
+                        passes, exact = self._gate_chunks_fetch(
                             pending, len(hits)
                         )
+                        if use_small:
+                            esc = np.flatnonzero(~exact)
+                            if len(esc):
+                                if packed:
+                                    p2, _ = self._gate_chunks(
+                                        True, hits[esc], rq[esc], d_thr,
+                                        thr, d_qp, d_qlen, window,
+                                    )
+                                else:
+                                    p2, _ = self._gate_chunks(
+                                        False, hits[esc], rids[esc],
+                                        qoffs[esc], thr, d_qp, d_qlen,
+                                        window,
+                                    )
+                                passes[esc] = p2
                     pidx = np.flatnonzero(passes)
                     if idx.packed is not None:
                         sids = (
@@ -1290,6 +1383,7 @@ class TpuEngine:
                 # span the whole read and escape the small tier anyway; on
                 # short-read windows the direct full-window gate costs the
                 # same device time and one fewer tunnel round trip.
+                c0 = self._n_cands
                 pr1, ps1 = run_gate(
                     all_reads,
                     np.zeros(len(all_reads), np.int64),
@@ -1299,6 +1393,7 @@ class TpuEngine:
                 cr1, cs1, ck1, key1 = self._dedup_pairs(
                     pr1, ps1, rejected_keys
                 )
+                ss["s1"] = (self._n_cands - c0, len(pr1), len(cr1))
                 with self.timer.phase("resolve.nw"):
                     P1, pend1 = self._nw_dispatch_pairs(
                         cr1, cs1, qlens, d_qp, d_dp, d_qlen, d_dlen
@@ -1324,7 +1419,7 @@ class TpuEngine:
                         )
 
                 with self.timer.phase("resolve.nw"):
-                    results1 = self._nw_fetch_pairs(P1, pend1)
+                    results1 = self._nw_fetch_pairs(P1, pend1, 'nw.fetch1')
                 self._judge_and_replay(
                     results1, ck1, pr1, ps1, key1,
                     rejected_keys, resolved, accepted_records, cfg,
@@ -1350,6 +1445,10 @@ class TpuEngine:
                 cr2, cs2, ck2, key2 = self._dedup_pairs(
                     pr2, ps2, rejected_keys
                 )
+                ss["s2"] = (
+                    int(N_r[spec].sum() - len(spec) * F) if len(spec) else 0,
+                    len(pr2), len(cr2),
+                )
                 with self.timer.phase("resolve.nw"):
                     P2, pend2 = self._nw_dispatch_pairs(
                         cr2, cs2, qlens, d_qp, d_dp, d_qlen, d_dlen
@@ -1367,15 +1466,20 @@ class TpuEngine:
                 cr3, cs3, ck3, key3 = self._dedup_pairs(
                     pr3, ps3, rejected_keys, extra=ck2
                 )
+                ss["s3"] = (
+                    int(N_r[leftover].sum() - len(leftover) * F)
+                    if len(leftover) else 0,
+                    len(pr3), len(cr3),
+                )
                 with self.timer.phase("resolve.nw"):
                     P3, pend3 = self._nw_dispatch_pairs(
                         cr3, cs3, qlens, d_qp, d_dp, d_qlen, d_dlen
                     )
-                    results2 = self._nw_fetch_pairs(P2, pend2)
-                    results3 = self._nw_fetch_pairs(P3, pend3)
+                    results2 = self._nw_fetch_pairs(P2, pend2, 'nw.fetch2')
+                    results3 = self._nw_fetch_pairs(P3, pend3, 'nw.fetch3')
                 if len(pr2) or len(pr3):
                     self._judge_and_replay(
-                        results2 + results3,
+                        np.concatenate([results2, results3]),
                         np.concatenate([ck2, ck3]),
                         np.concatenate([pr2, pr3]),
                         np.concatenate([ps2, ps3]),

@@ -192,3 +192,74 @@ def test_rows_from_stream_matches_pack_read_rows():
         ))
         np.testing.assert_array_equal(want, got[:37])
         assert not got[37:].any()
+
+
+def test_flat_gate_seg_matches_packed():
+    """Segment-encoded gate (4 B/candidate) == 8-byte packed gate on a
+    random stream with realistic structure (read-major order, qoff
+    non-decreasing per read, delta overflows forcing extra segments)."""
+    import jax.numpy as jnp
+
+    from imsame_tpu.ops.candidates import (
+        encode_seg_chunk,
+        flat_gate_packed,
+        flat_gate_seg,
+    )
+
+    rng = np.random.default_rng(11)
+    n_q, n_db, L = 64, 64, 256
+    W = L // 16
+    qp = rng.integers(0, 2 ** 32, (n_q, W), dtype=np.uint32)
+    dp = rng.integers(0, 2 ** 32, (n_db, W), dtype=np.uint32)
+    qlen = rng.integers(100, 250, n_q).astype(np.int32)
+    dlen = rng.integers(100, 250, n_db).astype(np.int32)
+    n_idx = 500
+    idx_tab = (
+        (rng.integers(0, n_db, n_idx).astype(np.uint32) << np.uint32(12))
+        | rng.integers(12, 200, n_idx).astype(np.uint32)
+    ).view(np.int32)
+    thr = rng.integers(-50, 200, n_q).astype(np.int32)
+
+    N = 300
+    rids = np.sort(rng.integers(0, n_q, N)).astype(np.int32)
+    qoffs = np.empty(N, np.int32)
+    for r in np.unique(rids):
+        m = rids == r
+        qoffs[m] = np.sort(
+            rng.integers(12, 250, int(m.sum()))
+        ).astype(np.int32)
+    hits = rng.integers(0, n_idx, N).astype(np.int32)
+
+    size = 512
+    cand = np.zeros((2, size), np.int32)
+    cand[0, :N] = hits
+    rq = (rids.astype(np.uint32) << np.uint32(12)) | qoffs.astype(np.uint32)
+    cand[1, :N] = rq.view(np.int32)
+    a = jnp.asarray
+    ref = np.asarray(
+        flat_gate_packed(
+            a(qp), a(dp), a(qlen), a(dlen), a(idx_tab), a(cand), a(thr),
+            window=64, packed_idx=True,
+        )
+    )
+    c1, rtab, rbase = encode_seg_chunk(rids, qoffs, hits, size)
+    cap = 256
+    assert len(rtab) <= cap
+    rt = np.zeros(cap, np.int32)
+    rb = np.zeros(cap, np.int32)
+    rt[: len(rtab)] = rtab
+    rb[: len(rtab)] = rbase
+    got = np.asarray(
+        flat_gate_seg(
+            a(qp), a(dp), a(qlen), a(dlen), a(idx_tab), a(c1), a(rt),
+            a(rb), a(thr), window=64, packed_idx=True,
+        )
+    )
+
+    def unpack(bits):
+        pb = np.ascontiguousarray(bits, dtype="<u4")
+        return np.unpackbits(
+            pb.view(np.uint8).reshape(2, -1), axis=1, bitorder="little"
+        )[:, :N]
+
+    np.testing.assert_array_equal(unpack(got), unpack(ref))

@@ -181,6 +181,34 @@ def test_stats_pallas_pipe3_interpret_matches_jnp(seed, L, mult):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize(
+    "seed,L,n_blk,rblk",
+    [(3, 128, 2, 64), (11, 256, 2, 64), (5, 128, 2, 32), (9, 128, 2, 16)],
+)
+def test_stats_pallas_pipe4_interpret_matches_jnp(seed, L, n_blk, rblk):
+    """The v4 multi-block interleaved stats kernel (production dispatch
+    for the 256/512/1024 buckets: ops/resolve.py PIPE4_VARIANTS) must be
+    bit-equal to the jnp stats aligner at every production (n_blk, rblk)
+    layout; covers the per-block state separation and the interleaved
+    phase emission."""
+    from imsame_tpu.ops.nw_pallas import (
+        PIPE2_K, nw_stats_batch_pallas_pipe4)
+
+    rng = np.random.default_rng(seed)
+    B = n_blk * rblk * PIPE2_K
+    X, Y, xlen, ylen = _mixed_pairs(rng, B, L)
+    st = nw_stats_batch(
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(xlen), jnp.asarray(ylen),
+        -5, -2, max_len=L,
+    )
+    sp = nw_stats_batch_pallas_pipe4(
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(xlen), jnp.asarray(ylen),
+        -5, -2, max_len=L, interpret=True, n_blk=n_blk, rblk=rblk,
+    )
+    for a, b in zip(st, sp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("seed", [0, 7])
 def test_stats_pallas_interpret_matches_jnp(seed):
     rng = np.random.default_rng(seed)
