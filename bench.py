@@ -195,6 +195,129 @@ def nw_kernel_gcups(eng, n_reads: int) -> float:
     return round(B * 250 * 250 / dt / 1e9, 2)
 
 
+def kernel_gcups_at(L: int, B: int = 2048, reps: int = 3) -> float:
+    """Compiled stats-kernel GCUPS at length bucket L through the SAME
+    dispatch choice the production resolve path makes (resolve.py
+    PIPE4_VARIANTS -> v4 kernel, else the v3 pipelined kernel)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from imsame_tpu.ops.nw import nw_stats_batch
+    from imsame_tpu.ops.nw_pallas import (
+        nw_stats_batch_pallas_pipe3,
+        nw_stats_batch_pallas_pipe4,
+    )
+    from imsame_tpu.ops.resolve import PIPE4_VARIANTS
+
+    on_tpu = jax.default_backend() == "tpu"
+    v4 = PIPE4_VARIANTS.get(L)
+    if not on_tpu:
+        fn = nw_stats_batch
+    elif v4 is not None and B % (v4[0] * v4[1] * 16) == 0:
+        fn = functools.partial(
+            nw_stats_batch_pallas_pipe4, n_blk=v4[0], rblk=v4[1]
+        )
+    else:
+        fn = nw_stats_batch_pallas_pipe3
+    rlen = min(L - 2, int(L * 0.98))
+    rng = np.random.default_rng(L)
+    X = jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.uint8))
+    Y = jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.uint8))
+    xl = jnp.full(B, rlen, jnp.int32)
+    yl = jnp.full(B, rlen, jnp.int32)
+    run = lambda: fn(X, Y, xl, yl, -5, -2, max_len=L)
+    np.asarray(run().best_score)  # warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run()
+    np.asarray(out.best_score)
+    dt = (time.perf_counter() - t0) / reps
+    return round(B * rlen * rlen / dt / 1e9, 2)
+
+
+def longread_bench() -> dict:
+    """Long-read envelope on hardware (VERDICT r4 item 3): an end-to-end
+    compare + byte-parity check with reads spanning ~300..3000 bp
+    (the reference's full MAX_READ_SIZE envelope, src/structs.h:19), and
+    compiled-kernel GCUPS at every long length bucket through the
+    production dispatch."""
+    import random as _random
+    import sys as _sys
+    import tempfile
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    from util_synth import (
+        mutate,
+        parse_reference_summary,
+        random_read,
+        reference_binaries,
+        run_reference,
+        write_fasta,
+    )
+
+    from imsame_tpu.config import Config
+    from imsame_tpu.io.fasta import read_fasta
+    from imsame_tpu.pipeline import TpuEngine
+
+    rng = _random.Random(4242)
+    nq = 512
+    q_reads = [random_read(rng, rng.randint(300, 3000)) for _ in range(nq)]
+    db_reads = [
+        mutate(rng, q_reads[i], 0.04, 0.01)
+        if i % 2 == 0
+        else random_read(rng, rng.randint(300, 3000))
+        for i in range(nq)
+    ]
+    rng.shuffle(db_reads)
+    out = {
+        "metric": "long-read envelope (512 reads, 300..3000 bp)",
+        "n_reads": nq,
+    }
+    with tempfile.TemporaryDirectory() as td:
+        td = Path(td)
+        write_fasta(td / "q.fa", q_reads, "q")
+        write_fasta(td / "db.fa", db_reads, "d")
+        q = read_fasta(str(td / "q.fa"))
+        db = read_fasta(str(td / "db.fa"))
+        eng = TpuEngine(db, Config())
+        eng.render_report(q, eng.compare(q))  # warm long-bucket compiles
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = eng.compare(q)
+            runs.append(round(time.perf_counter() - t0, 3))
+        t_r = time.perf_counter()
+        report = eng.render_report(q, res)
+        out["align_seconds_runs"] = sorted(runs)
+        out["render_seconds"] = round(time.perf_counter() - t_r, 3)
+        out["accepted"] = res.accepted
+        out["nw_cells"] = res.nw_cells
+        out["gcups_align"] = round(res.nw_cells / min(runs) / 1e9, 2)
+        ref = reference_binaries()
+        if ref is not None:
+            ref_out = td / "ref.align"
+            stdout = run_reference(
+                ref[0], td / "q.fa", td / "db.fa", ref_out, n_threads=1
+            )
+            accepted_ref, _, _ = parse_reference_summary(stdout)
+            assert res.accepted == accepted_ref, (
+                res.accepted, accepted_ref
+            )
+            out["parity"] = (
+                "byte-identical"
+                if report == ref_out.read_bytes()
+                else "MISMATCH"
+            )
+    out["kernel_gcups_by_bucket"] = {
+        str(L): kernel_gcups_at(L, B=1024 if L >= 2048 else 2048)
+        for L in (512, 1024, 2048, 3072)
+    }
+    return out
+
+
 # Reference end-to-end wall at the 100k x 100k workload, measured in this
 # environment in round 3 (4 threads, gcc -O3, same synthetic generator;
 # BASELINE.md "100k x 100k" section).  Re-measuring it would cost ~73
@@ -372,6 +495,15 @@ def main() -> int:
         except Exception as e:
             large = {"error": f"{type(e).__name__}: {e}"}
 
+    # Long-read envelope block (VERDICT r4 item 3): parity + per-bucket
+    # compiled-kernel GCUPS on hardware, every default bench run.
+    longread = None
+    if n_reads == 20000 and os.environ.get("IMSAME_BENCH_LONGREAD", "1") != "0":
+        try:
+            longread = longread_bench()
+        except Exception as e:
+            longread = {"error": f"{type(e).__name__}: {e}"}
+
     # Scaling efficiency (VERDICT item 7): measured separately on the
     # 8-virtual-device CPU mesh by bench_scaling.py; its last saved result
     # rides along so the driver captures an efficiency number every round.
@@ -435,6 +567,7 @@ def main() -> int:
             **({"parity": parity} if parity is not None else {}),
             **({"sweep": sweep} if sweep is not None else {}),
             **({"large": large} if large is not None else {}),
+            **({"longread": longread} if longread is not None else {}),
             **({"scaling": scaling} if scaling is not None else {}),
             "timings": {k: round(v, 3) for k, v in timings.items()},
         },
@@ -473,6 +606,18 @@ def main() -> int:
         }
         if "error" in large:
             summary["large"] = {"error": large["error"]}
+    if longread is not None:
+        summary["longread"] = {
+            k: longread[k]
+            for k in (
+                "align_seconds_runs",
+                "accepted",
+                "parity",
+                "kernel_gcups_by_bucket",
+                "error",
+            )
+            if k in longread
+        }
     print(json.dumps(summary))
     # A 100k accept-count regression must fail the bench loudly, not just
     # flip a JSON boolean (ADVICE r4).
