@@ -97,6 +97,16 @@ class Config:
     # (n_data, n_dict) = explicit.  The dict axis shards the sorted-index
     # payload by row range (capacity, not speed -- see parallel/sharded.py).
     mesh_shape: object = "auto"
+    # Dispatch the render-NW + chain prefix for wave-1 winners INSIDE
+    # compare (they are final under first-accept-wins), so their chains
+    # compute while the host judges waves 2/3; render_report then only
+    # fetches.  Single-device path only.  Default OFF: measured at 20k
+    # the post-wave-3 judge window is too short to hide the render
+    # compute, so the dispatch only moves wall time from the render
+    # phase into align (and the sweep path already overlaps whole
+    # renders with the next compare on a worker thread).  ON pays off
+    # when compare is followed by long host work before render_report.
+    render_overlap: bool = False
     # When set, each compare() is wrapped in a jax.profiler trace written
     # here (open with TensorBoard / xprof; SURVEY.md 5.1).
     profile_dir: Optional[str] = None

@@ -101,6 +101,10 @@ class PipelineResult:
     timings: Dict[str, float]
     nw_cells: int  # DP cells computed (for GCUPS accounting)
     n_candidates: int  # extension candidates evaluated
+    # (records, pending) render-NW work dispatched inside compare (the
+    # wave-1 winners overlap the wave-2/3 judging); consumed by
+    # render_report -> _materialize_chains.
+    early_render: Optional[tuple] = None
 
     @property
     def jaccard(self) -> float:
@@ -1152,6 +1156,7 @@ class TpuEngine:
         resolved = np.zeros(n, bool)
         rejected_keys = _KeySet()
         accepted_records: List[AcceptedRead] = []
+        early = None  # render overlap (set in the resolve block)
         # Per-stage counters (diagnostics; bench surfaces them): candidate
         # counts, gate-pass counts and NW pair counts per stage.
         ss = self.stage_stats = {}
@@ -1475,6 +1480,26 @@ class TpuEngine:
                     P3, pend3 = self._nw_dispatch_pairs(
                         cr3, cs3, qlens, d_qp, d_dp, d_qlen, d_dlen
                     )
+                # Render overlap (VERDICT r4 item 5): the wave-1 winners
+                # are final (first-accept-wins; later waves only touch
+                # unresolved reads), so their render-NW + chain prefix
+                # dispatch NOW -- queued behind the small wave-2/3 NW --
+                # and compute during those fetches and the final judging
+                # instead of serially inside render_report.
+                if (
+                    cfg.render_overlap and accepted_records
+                    and self._mesh is None
+                ):
+                    early_todo = list(accepted_records)
+                    with self.timer.phase("render.early_dispatch"):
+                        early = (
+                            early_todo,
+                            self._render_dispatch_chains(
+                                early_todo,
+                                (d_qp, d_dp, d_qlen, d_dlen),
+                            ),
+                        )
+                with self.timer.phase("resolve.nw"):
                     results2 = self._nw_fetch_pairs(P2, pend2, 'nw.fetch2')
                     results3 = self._nw_fetch_pairs(P3, pend3, 'nw.fetch3')
                 if len(pr2) or len(pr3):
@@ -1499,28 +1524,25 @@ class TpuEngine:
             timings=dict(self.timer.items()),
             nw_cells=self._nw_cells,
             n_candidates=self._n_cands,
+            early_render=early,
         )
 
     # ------------------------------------------------------------------
-    def _materialize_chains(
-        self, records: List[AcceptedRead], dev=None
-    ) -> None:
-        """Produce traceback chains for accepted pairs by re-running the
-        backpointer kernel + traceback on exactly those pairs (the accept
-        path used the stats-only aligner, which writes no bp tensor --
-        accepted pairs are the only ones whose path must be rendered).
-        Cross-checks the two aligners: stats must equal traceback stats.
+    # Chain prefix fetched speculatively at dispatch: chains are
+    # diagonal-run compressed, so max(n_steps)+1 is typically tens of
+    # entries while the tensor is 2L wide -- the prefix cuts the dominant
+    # render transfer ~10x behind the ~100 MB/s tunnel.  Chunks whose
+    # chains exceed it re-fetch a wider pow2 slice at collect time.
+    _CHAIN_PREFIX = 64
 
-        ``dev`` is an optional snapshot of the compare's device state
-        (d_qp, d_dp, d_qlen, d_dlen): pass it when rendering runs
-        concurrently with a later compare on the same engine (the
-        orchestrator's deferred-render worker), since self._last_dev is
-        overwritten per compare."""
-        todo = [rec for rec in records if rec.chain is None]
-        if not todo:
-            return
-        dev = dev if dev is not None else self._last_dev
-        assert dev is not None, "render before compare"
+    def _render_dispatch_chains(self, todo: List[AcceptedRead], dev):
+        """Dispatch the render-NW (backpointer kernel + traceback) over
+        ``todo`` records WITHOUT fetching, with async host copies of the
+        per-pair stats and a speculative chain prefix queued right behind
+        each chunk's kernel -- the caller collects via
+        _render_collect_chains.  Used both by _materialize_chains and by
+        _compare's render overlap (the wave-1 winners' chains compute
+        during the wave-2/3 judging; VERDICT r4 item 5)."""
         d_qp, d_dp, d_qlen, d_dlen = dev
         r_ids = np.array([rec.qread for rec in todo], np.int64)
         sids = np.array([rec.dbread for rec in todo], np.int64)
@@ -1534,38 +1556,77 @@ class TpuEngine:
             res = self._nw_render_dispatch(
                 d_qp, d_dp, np.stack([rpad, spad]), d_qlen, d_dlen, L
             )
-            pending.append((chunk, res))
-        # Fetch the small per-pair stats first, then only a pow2 prefix
-        # of each chunk's chain tensor: chains are diagonal-run
-        # compressed, so max(n_steps)+1 is typically tens of entries
-        # while the tensor is 2L wide -- the prefix cuts the dominant
-        # render transfer ~10x behind the ~100 MB/s tunnel.  (pow2 keeps
-        # the eager slice shapes few for the compile cache.)
+            pre = res.chain[:, : self._CHAIN_PREFIX]
+            for a in (res.length, res.identities, res.n_steps, pre):
+                _host_async(a)
+            pending.append((chunk, res, pre))
+        return pending
+
+    def _render_collect_chains(
+        self, todo: List[AcceptedRead], pending
+    ) -> None:
+        """Fetch + assign the chains dispatched by _render_dispatch_chains
+        (stats cross-check included: the stats aligner must equal the
+        traceback aligner per pair)."""
         flat = jax.device_get(
-            [a for _, res in pending
-             for a in (res.length, res.identities, res.n_steps)]
+            [a for _, res, pre in pending
+             for a in (res.length, res.identities, res.n_steps, pre)]
         )
         chain_parts = []
-        for ci, (chunk, res) in enumerate(pending):
-            nsteps = flat[3 * ci + 2]
+        for ci, (chunk, res, _pre) in enumerate(pending):
+            nsteps = flat[4 * ci + 2]
             ch = res.chain
             need = int(nsteps.max()) + 1 if len(nsteps) else 1
-            W = 32
+            if need <= self._CHAIN_PREFIX:
+                chain_parts.append(None)  # speculative prefix suffices
+                continue
+            W = self._CHAIN_PREFIX
             while W < need:
                 W *= 2
-            chain_parts.append(
-                ch if W >= ch.shape[1] else ch[:, :W]
-            )
-        chain_flat = jax.device_get(chain_parts)
-        for ci, (chunk, _res) in enumerate(pending):
-            lengths, idents, nsteps = flat[3 * ci : 3 * ci + 3]
-            chains = chain_flat[ci]
+            chain_parts.append(ch if W >= ch.shape[1] else ch[:, :W])
+        wide = jax.device_get([c for c in chain_parts if c is not None])
+        wi = 0
+        for ci, (chunk, _res, _pre) in enumerate(pending):
+            lengths, idents, nsteps = flat[4 * ci : 4 * ci + 3]
+            if chain_parts[ci] is None:
+                chains = flat[4 * ci + 3]
+            else:
+                chains = wide[wi]
+                wi += 1
             for b, i in enumerate(chunk):
                 rec = todo[i]
                 assert int(lengths[b]) == rec.length
                 assert int(idents[b]) == rec.identities
                 rec.n_steps = int(nsteps[b])
                 rec.chain = chains[b]
+
+    def _materialize_chains(
+        self, records: List[AcceptedRead], dev=None, early=None
+    ) -> None:
+        """Produce traceback chains for accepted pairs by re-running the
+        backpointer kernel + traceback on exactly those pairs (the accept
+        path used the stats-only aligner, which writes no bp tensor --
+        accepted pairs are the only ones whose path must be rendered).
+
+        ``dev`` is an optional snapshot of the compare's device state
+        (d_qp, d_dp, d_qlen, d_dlen): pass it when rendering runs
+        concurrently with a later compare on the same engine (the
+        orchestrator's deferred-render worker), since self._last_dev is
+        overwritten per compare.  ``early`` is a PipelineResult's
+        early_render (records already dispatched inside _compare)."""
+        if early is not None:
+            early_todo, early_pending = early
+            if early_pending:
+                self._render_collect_chains(early_todo, early_pending)
+                # consume: a second render_report must not re-fetch
+                early_pending.clear()
+        todo = [rec for rec in records if rec.chain is None]
+        if not todo:
+            return
+        dev = dev if dev is not None else self._last_dev
+        assert dev is not None, "render before compare"
+        pending = self._render_dispatch_chains(todo, dev)
+        self._render_collect_chains(todo, pending)
 
     def render_report(
         self, q: SeqInfo, result: PipelineResult, dev=None
@@ -1575,7 +1636,9 @@ class TpuEngine:
         native host library when available (batched backtrack + 60-col
         render, native/host.c imsame_render_blocks); the Python path below
         is the bit-identical fallback.  ``dev``: see _materialize_chains."""
-        self._materialize_chains(result.records, dev=dev)
+        self._materialize_chains(
+            result.records, dev=dev, early=result.early_render
+        )
         db = self.db
         recs = result.records
         if recs and native.lib is not None:
@@ -1614,21 +1677,20 @@ class TpuEngine:
         stats, like the Python path's assert."""
         db = self.db
         P = len(recs)
-        xlen = np.array(
-            [db.read_end(a.dbread) - int(db.start[a.dbread]) for a in recs],
-            np.int32,
-        )
-        ylen = np.array(
-            [q.read_end(a.qread) - int(q.start[a.qread]) for a in recs],
-            np.int32,
-        )
-        xoff = np.array([db.start[a.dbread] for a in recs], np.int64)
-        yoff = np.array([q.start[a.qread] for a in recs], np.int64)
+        # vectorized prep: python-loop gathers cost ~0.1 s at 10k records
+        qr = np.fromiter((a.qread for a in recs), np.int64, P)
+        dr = np.fromiter((a.dbread for a in recs), np.int64, P)
+        db_ends = np.append(db.start[1:], db.total_len)
+        q_ends = np.append(q.start[1:], q.total_len)
+        xoff = db.start[dr]
+        yoff = q.start[qr]
+        xlen = (db_ends[dr] - xoff).astype(np.int32)
+        ylen = (q_ends[qr] - yoff).astype(np.int32)
         width = max(len(a.chain) for a in recs)
         chains = np.zeros((P, width), np.int32)
         for p, a in enumerate(recs):
             chains[p, : len(a.chain)] = a.chain
-        n_steps = np.array([a.n_steps for a in recs], np.int32)
+        n_steps = np.fromiter((a.n_steps for a in recs), np.int32, P)
         span = 2 * np.maximum(xlen, ylen).astype(np.int64)
         caps = 3 * span + 3 * (span // 60 + 2) + 8
         out_off = np.zeros(P + 1, np.int64)
