@@ -2026,3 +2026,359 @@ def nw_stats_batch_pallas_pipe4(
         length=bw.reshape(B) & 0xFFFF,
         identities=bw.reshape(B) >> 16,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streamed forward+bp kernel ("pipe5"): the render path's backpointer
+# producer rebuilt on the v3 stats kernel's architecture.
+#
+# The v1 forward kernel (_make_nw_kernel) predates the v2/v3 redesigns:
+# one pair block per 8 sublanes, rotating char feeds re-rolled through
+# VMEM refs every diagonal, per-step masked best reductions -- measured
+# ~4.6 effective GCUPS while the v3/v4 stats kernels do 17-25.  This
+# kernel keeps v3's K-pair-per-row streamed layout, registerized carried
+# state and harvest-at-handover best fold, and ADDs what the render path
+# needs: the packed from-cell word per cell (diag/right/left move --
+# left is exactly the carried mf_xy since PACK == 4096) plus the
+# diagonal-run compression fields (run length + matches, RUN_CAP=15)
+# that ops/traceback.py consumes.
+#
+# bp layout is the STREAM layout [R, (K+1)*L, L]: pair b = r*K + k has
+# its cell (i, j) at bp[r, k*L + i + j, i] (each stream step's row mixes
+# pairs, but per pair the map is a pure offset k*L on the diagonal
+# index).  Total bp memory is (K+1)/(2K) ~= half of the per-pair
+# [B, 2L, L] layout.  traceback_batch_stream indexes it directly.
+
+def _make_nw_fwd_pipe5_kernel(max_len: int):
+    L = max_len
+    PHASE = L // UNROLL2
+    K = PIPE2_K
+
+    def kernel(igap_ref, egap_ref,
+               fx_ref, fy_ref, fy0_ref, fxl_y_ref, fyl_y_ref,
+               bp_ref, bs_ref, bi_ref, bj_ref,
+               sb1, sb2, sbR1, sbR2, sbR3,
+               rnR1, rnR2, mrR1, mrR2,
+               mfs_ref, mfxy_ref, mcs_ref, mcx_ref,
+               yd_ref, xc_ref, xl_ref, yl_ref,
+               acc_ref, sta_ref):
+        g = pl.program_id(1)
+        dbase = g * jnp.int32(UNROLL2)
+        q = g // jnp.int32(PHASE)
+        ebase = (g - q * jnp.int32(PHASE)) * jnp.int32(UNROLL2)
+        igap = igap_ref[0, 0]
+        egap = egap_ref[0, 0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RBLK2, L), 1)
+        lane4096 = lane * jnp.int32(4096)
+        lane_egap = lane * egap
+        NEG32 = jnp.int32(NEG)
+        P4 = jnp.int32(POINT)
+        M4 = jnp.int32(-POINT)
+        Z32 = jnp.int32(0)
+        ONE = jnp.int32(1)
+        SENT = jnp.int32(-(2 ** 31) + 1)
+        lane_is0 = lane == 0
+        lane_ge2 = lane >= 2
+        IE = igap - egap
+
+        def roll1(a):
+            return pltpu.roll(a, jnp.int32(1), axis=1)
+
+        def shift1(a, fill):
+            return jnp.where(lane_is0, fill, roll1(a))
+
+        @pl.when(dbase == 0)
+        def _init():
+            neg = jnp.full((RBLK2, L), NEG, jnp.int32)
+            zero = jnp.zeros((RBLK2, L), jnp.int32)
+            sent = jnp.full((RBLK2, L), SENT, jnp.int32)
+            for ref in (sb1, sb2, sbR1, sbR2, sbR3, mfs_ref, mcs_ref):
+                ref[:] = neg
+            for ref in (rnR1, rnR2, mrR1, mrR2, mfxy_ref, mcx_ref,
+                        yd_ref, xc_ref, xl_ref, yl_ref):
+                ref[:] = zero
+            acc_ref[:] = sent
+            sta_ref[:] = sent
+
+        s_dm1 = sb1[:]
+        s_dm2 = sb2[:]
+        sR_dm1 = sbR1[:]
+        sR_dm2 = sbR2[:]
+        sR_dm3 = sbR3[:]
+        rnR_dm1 = rnR1[:]
+        rnR_dm2 = rnR2[:]
+        mrR_dm1 = mrR1[:]
+        mrR_dm2 = mrR2[:]
+        mf_s = mfs_ref[:]
+        mf_xy = mfxy_ref[:]
+        mc_s = mcs_ref[:]
+        mc_x = mcx_ref[:]
+        yd = yd_ref[:]
+        xc = xc_ref[:]
+        xlen = xl_ref[:]
+        ylen = yl_ref[:]
+        acc = acc_ref[:]
+        sta = sta_ref[:]
+
+        bp_rows = []
+        for u in range(UNROLL2):
+            e = ebase + jnp.int32(u)
+            s2 = s_dm2
+            x_new = fx_ref[0, :, u : u + 1]
+            y_new = fy_ref[0, :, u : u + 1]
+            y0 = fy0_ref[0, :, u : u + 1]
+            xl_y = fxl_y_ref[0, :, u : u + 1]
+            yl_y = fyl_y_ref[0, :, u : u + 1]
+            young = lane <= e
+            j_idx = (e - lane) + jnp.where(young, Z32, jnp.int32(L))
+            eq_e = lane == e
+
+            sta = jnp.where(eq_e, acc, sta)
+            acc = jnp.where(eq_e, SENT, acc)
+            xc = jnp.where(eq_e, x_new, xc)
+            xlen = jnp.where(eq_e, xl_y, xlen)
+            ylen = jnp.where(eq_e, yl_y, ylen)
+            yd = shift1(yd, y_new)
+
+            valid = (lane < xlen) & (j_idx < ylen)
+            bmask = lane_is0 | eq_e
+            border = valid & bmask
+            inner = valid ^ border
+            is_match = xc == yd
+            s_pm = jnp.where(is_match, P4, M4)
+
+            t_im1_jm1 = sR_dm2
+            t_i_jm2 = s2
+            t_im1_jm2 = sR_dm3
+            t_im2_jm1 = roll1(sR_dm3)
+            run_prev = rnR_dm2
+            mr_prev = mrR_dm2
+
+            lanej = lane4096 + j_idx
+            jge2 = j_idx >= 2
+            ij2 = inner & jge2
+            mf_upd = ij2 & (mf_s <= t_i_jm2)
+            mf_s = jnp.where(mf_upd, t_im1_jm2, mf_s)
+            mf_xy = jnp.where(mf_upd, lanej - jnp.int32(4098), mf_xy)
+
+            score_diag = t_im1_jm1 + s_pm
+            dxy = lanej - mf_xy
+            dyl = dxy & jnp.int32(4095)
+            score_left = jnp.where(
+                jge2, mf_s + IE + dyl * egap + s_pm, NEG32
+            )
+            score_right = jnp.where(
+                lane_ge2,
+                (mc_s + IE - mc_x * egap) + lane_egap + s_pm,
+                NEG32,
+            )
+            pick_diag = (score_diag >= score_left) & (
+                score_diag >= score_right
+            )
+            pick_right = (~pick_diag) & (score_right > score_left)
+            cell = jnp.where(
+                pick_diag, score_diag,
+                jnp.where(pick_right, score_right, score_left),
+            )
+
+            # packed from-cell of this cell's move (PACK == 4096):
+            #   diag  -> (i-1, j-1) = lanej - 4097
+            #   right -> (mc_x, j-1) = mc_x*4096 + j - 1
+            #   left  -> (mf_x, mf_y) = mf_xy
+            frm = jnp.where(
+                pick_diag,
+                lanej - jnp.int32(4097),
+                jnp.where(
+                    pick_right,
+                    mc_x * jnp.int32(4096) + j_idx - ONE,
+                    mf_xy,
+                ),
+            )
+
+            cell = jnp.where(border, s_pm, cell)
+            s0 = jnp.where(valid, cell, NEG32)
+
+            # diagonal-run compression fields (ops/nw.py BP layout)
+            is_diag = pick_diag & inner
+            capped = run_prev == jnp.int32(RUN_CAP)
+            match_i = jnp.where(is_match, ONE, Z32)
+            run_cur = jnp.where(
+                is_diag, jnp.where(capped, ONE, run_prev + ONE), Z32
+            )
+            mr_cur = jnp.where(
+                is_diag,
+                jnp.where(capped, match_i, mr_prev + match_i),
+                Z32,
+            )
+            bp_rows.append(
+                jnp.where(
+                    inner,
+                    frm
+                    | (run_cur << jnp.int32(24))
+                    | (mr_cur << jnp.int32(28)),
+                    jnp.int32(-1),
+                )
+            )
+
+            mc_upd = ij2 & lane_ge2 & (t_im2_jm1 > mc_s)
+            mc_s = jnp.where(mc_upd, t_im2_jm1, mc_s)
+            mc_x = jnp.where(mc_upd, lane - jnp.int32(2), mc_x)
+
+            col0_ok = xl_y > e
+            col0_score = jnp.where(x_new == y0, P4, M4)
+            upd_col = eq_e & col0_ok
+            mf_s = jnp.where(upd_col, col0_score, mf_s)
+            mf_xy = jnp.where(upd_col, lane4096, mf_xy)
+
+            row0_ok = yl_y > e
+            new_col_s = jnp.where(row0_ok, s0[:, 0:1], NEG32)
+            mc_s = shift1(mc_s, new_col_s)
+            mc_x = shift1(mc_x, Z32)
+
+            elig = inner & ((lane == xlen - 1) | (j_idx == ylen - 1))
+            packed = (s0 << jnp.int32(13)) | (lane + j_idx)
+            npm = jnp.where(elig, packed, SENT)
+            upd = npm > acc
+            acc = jnp.where(upd, npm, acc)
+
+            s_dm2 = s_dm1
+            s_dm1 = s0
+            sR_dm3 = sR_dm2
+            sR_dm2 = sR_dm1
+            sR_dm1 = roll1(s0)
+            rnR_dm2 = rnR_dm1
+            rnR_dm1 = roll1(run_cur)
+            mrR_dm2 = mrR_dm1
+            mrR_dm1 = roll1(mr_cur)
+
+        bp_ref[:] = jnp.stack(bp_rows, axis=1)  # (RBLK2, UNROLL2, L)
+
+        sb1[:] = s_dm1
+        sb2[:] = s_dm2
+        sbR1[:] = sR_dm1
+        sbR2[:] = sR_dm2
+        sbR3[:] = sR_dm3
+        rnR1[:] = rnR_dm1
+        rnR2[:] = rnR_dm2
+        mrR1[:] = mrR_dm1
+        mrR2[:] = mrR_dm2
+        mfs_ref[:] = mf_s
+        mfxy_ref[:] = mf_xy
+        mcs_ref[:] = mc_s
+        mcx_ref[:] = mc_x
+        yd_ref[:] = yd
+        xc_ref[:] = xc
+        xl_ref[:] = xlen
+        yl_ref[:] = ylen
+        acc_ref[:] = acc
+        sta_ref[:] = sta
+
+        @pl.when((ebase == jnp.int32(L - UNROLL2)) & (q >= 1))
+        def _flush():
+            Ap = sta_ref[:]
+            amax = jnp.max(Ap, axis=1, keepdims=True)
+            any_ = amax != SENT
+            s_l = Ap >> jnp.int32(13)
+            smax = amax >> jnp.int32(13)
+            bi = jnp.max(
+                jnp.where(s_l == smax, lane, jnp.int32(-1)),
+                axis=1, keepdims=True,
+            )
+            at = lane == bi
+            dsel = jnp.sum(
+                jnp.where(at, Ap & jnp.int32(8191), Z32),
+                axis=1, keepdims=True,
+            )
+            bs_v = jnp.where(any_, smax, SENT)
+            bi_v = jnp.where(any_, bi, Z32)
+            bj_v = jnp.where(any_, dsel - bi, Z32)
+            slot = q - jnp.int32(1)
+            kiota = jax.lax.broadcasted_iota(jnp.int32, (RBLK2, K), 1)
+            mask = kiota == slot
+            bs_ref[:] = jnp.where(mask, bs_v, bs_ref[:])
+            bi_ref[:] = jnp.where(mask, bi_v, bi_ref[:])
+            bj_ref[:] = jnp.where(mask, bj_v, bj_ref[:])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("max_len", "interpret"))
+def nw_forward_batch_pallas_pipe5(
+    X: jax.Array,  # [B, L] uint8 codes
+    Y: jax.Array,
+    xlen: jax.Array,  # [B]
+    ylen: jax.Array,
+    igap,
+    egap,
+    *,
+    max_len: int,
+    interpret: bool = False,
+):
+    """Streamed forward aligner with bp emission (see
+    _make_nw_fwd_pipe5_kernel).  Returns (bp_stream [R, (K+1)L, L],
+    best_score, best_i, best_j); requires B % (RBLK2*PIPE2_K) == 0.
+    Consume bp via traceback_batch_stream (ops/traceback.py)."""
+    B, L = X.shape
+    K = PIPE2_K
+    assert L == max_len and L % 128 == 0
+    assert B % (RBLK2 * K) == 0, (B, RBLK2, K)
+    assert L % UNROLL2 == 0
+    R = B // K
+    NS = (K + 1) * L
+    n_grid = NS // UNROLL2
+    grid = (R // RBLK2, n_grid)
+
+    Xi = X.astype(jnp.int32)
+    Yi = Y.astype(jnp.int32)
+    xl = xlen.astype(jnp.int32)
+    yl = ylen.astype(jnp.int32)
+
+    padL = jnp.zeros((R, L), jnp.int32)
+    g3 = lambda a: a.reshape(R, n_grid, UNROLL2).transpose(1, 0, 2)
+    fx = g3(jnp.concatenate([Xi.reshape(R, K * L), padL], axis=1))
+    fy = g3(jnp.concatenate([Yi.reshape(R, K * L), padL], axis=1))
+    rep = lambda v: jnp.repeat(v.reshape(R, K), L, axis=1)
+    fy0 = g3(jnp.concatenate([rep(Yi[:, 0]), padL], axis=1))
+    fxl_y = g3(jnp.concatenate([rep(xl), padL], axis=1))
+    fyl_y = g3(jnp.concatenate([rep(yl), padL], axis=1))
+
+    kernel = _make_nw_fwd_pipe5_kernel(L)
+    scr = [pltpu.VMEM((RBLK2, L), jnp.int32)] * 19
+    out_shape = (
+        jax.ShapeDtypeStruct((R, NS, L), jnp.int32),
+        jax.ShapeDtypeStruct((R, K), jnp.int32),
+        jax.ShapeDtypeStruct((R, K), jnp.int32),
+        jax.ShapeDtypeStruct((R, K), jnp.int32),
+    )
+    smem11 = pl.BlockSpec((1, 1), lambda b, g: (0, 0), memory_space=pltpu.SMEM)
+    feedU = lambda: pl.BlockSpec(
+        (1, RBLK2, UNROLL2), lambda b, g: (g, b, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (RBLK2, K), lambda b, g: (b, 0), memory_space=pltpu.VMEM
+    )
+    bp, bs, bi, bj = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem11, smem11,
+                  feedU(), feedU(), feedU(), feedU(), feedU()],
+        out_specs=(
+            pl.BlockSpec(
+                (RBLK2, UNROLL2, L),
+                lambda b, g: (b, g, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_spec, out_spec, out_spec,
+        ),
+        out_shape=out_shape,
+        scratch_shapes=scr,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(
+        jnp.asarray(igap, jnp.int32).reshape(1, 1),
+        jnp.asarray(egap, jnp.int32).reshape(1, 1),
+        fx, fy, fy0, fxl_y, fyl_y,
+    )
+    return bp, bs.reshape(B), bi.reshape(B), bj.reshape(B)

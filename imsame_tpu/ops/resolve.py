@@ -24,6 +24,7 @@ from .nw_pallas import (
     PIPE_K,
     RBLK2,
     nw_forward_batch_pallas,
+    nw_forward_batch_pallas_pipe5,
     nw_stats_batch_pallas,
     nw_stats_batch_pallas_pipe,
     nw_stats_batch_pallas_pipe3,
@@ -38,7 +39,11 @@ from .nw_pallas import (
 # the 16 MB scoped-VMEM limit (2x64 fails to compile at 1024, 2x32 at
 # 2048) -- buckets past 1024 stay on the v3 kernel.
 PIPE4_VARIANTS = {256: (2, 64), 512: (2, 64), 1024: (2, 32)}
-from .traceback import TracebackResult, traceback_batch
+from .traceback import (
+    TracebackResult,
+    traceback_batch,
+    traceback_batch_stream,
+)
 
 
 def unpack_rows(packed: jax.Array, idx: jax.Array, L: int) -> jax.Array:
@@ -76,11 +81,23 @@ def nw_traceback_rows(
     Y = unpack_rows(qp, r, max_len)
     xl = dlen[s]
     yl = qlen[r]
-    nw_fn = nw_forward_batch_pallas if use_pallas else nw_forward_batch
-    res = nw_fn(X, Y, xl, yl, igap, egap, max_len=max_len)
-    tb: TracebackResult = traceback_batch(
-        res.bp, res.best_i, res.best_j, X, Y, max_len=max_len
-    )
+    B = r.shape[0]
+    if use_pallas and B % (RBLK2 * PIPE2_K) == 0 and max_len % 8 == 0:
+        # streamed forward+bp kernel (v3-architecture; ~2x the v1 forward
+        # kernel, and the stream bp layout halves bp HBM) + the matching
+        # stream-indexed traceback.
+        bp, bs, bi, bj = nw_forward_batch_pallas_pipe5(
+            X, Y, xl, yl, igap, egap, max_len=max_len
+        )
+        tb: TracebackResult = traceback_batch_stream(
+            bp, bi, bj, X, Y, max_len=max_len, stream_k=PIPE2_K
+        )
+    else:
+        nw_fn = nw_forward_batch_pallas if use_pallas else nw_forward_batch
+        res = nw_fn(X, Y, xl, yl, igap, egap, max_len=max_len)
+        tb = traceback_batch(
+            res.bp, res.best_i, res.best_j, X, Y, max_len=max_len
+        )
     return ResolveNWResult(
         length=tb.length,
         identities=tb.identities,

@@ -224,3 +224,45 @@ def test_stats_pallas_interpret_matches_jnp(seed):
     )
     for a, b in zip(st, sp):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("seed,L", [(3, 128), (11, 256)])
+def test_fwd_pipe5_stream_bp_matches_jnp(seed, L):
+    """Streamed forward+bp kernel (render-path producer, interpret) ==
+    jnp forward + traceback, including the packed from-cell words,
+    diagonal-run compression fields, chains and n_steps (the stream bp
+    layout's per-pair diagonal offset must address exactly)."""
+    from imsame_tpu.ops.nw import nw_forward_batch
+    from imsame_tpu.ops.nw_pallas import (
+        PIPE2_K,
+        RBLK2,
+        nw_forward_batch_pallas_pipe5,
+    )
+    from imsame_tpu.ops.traceback import (
+        traceback_batch,
+        traceback_batch_stream,
+    )
+
+    rng = np.random.default_rng(seed)
+    B = RBLK2 * PIPE2_K
+    X, Y, xlen, ylen = _mixed_pairs(rng, B, L)
+    jX, jY = jnp.asarray(X), jnp.asarray(Y)
+    jxl, jyl = jnp.asarray(xlen), jnp.asarray(ylen)
+    ref = nw_forward_batch(jX, jY, jxl, jyl, -5, -2, max_len=L)
+    tb_ref = traceback_batch(
+        ref.bp, ref.best_i, ref.best_j, jX, jY, max_len=L
+    )
+    bp, bs, bi, bj = nw_forward_batch_pallas_pipe5(
+        jX, jY, jxl, jyl, -5, -2, max_len=L, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(bs), np.asarray(ref.best_score))
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(ref.best_i))
+    np.testing.assert_array_equal(np.asarray(bj), np.asarray(ref.best_j))
+    tb = traceback_batch_stream(
+        bp, bi, bj, jX, jY, max_len=L, stream_k=PIPE2_K
+    )
+    for f in ("length", "identities", "igaps", "egaps", "chain", "n_steps"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(tb, f)), np.asarray(getattr(tb_ref, f)),
+            err_msg=f,
+        )
