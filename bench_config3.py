@@ -95,7 +95,9 @@ def main():
         db = read_fasta(str(td / "db.fa"))
         out["ingest_seconds"] = round(time.perf_counter() - t0, 2)
 
-    cfg = Config(first_window=32)
+    cfg = Config(first_window=32, first_window_auto=False)  # pinned: the
+    # auto rule would pick 64 at load ~14; 32 is the measured CONFIG3.json
+    # configuration
     t0 = time.perf_counter()
     eng = TpuEngine(db, cfg)
     out["index_seconds"] = round(time.perf_counter() - t0, 2)

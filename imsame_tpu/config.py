@@ -42,6 +42,15 @@ class Config:
     # candidate, so a small first window resolves them cheaply); stage 2
     # flat-gates every remaining candidate of the unresolved tail.
     first_window: int = 8
+    # Scale first_window with the dictionary's average bucket load
+    # (n_entries / 4^k).  Dense databases push the true partner's seed
+    # past a fixed-size window -- junk hits from ~load-deep buckets eat
+    # the slots -- sending whole true-pair streams to the (much larger)
+    # stage-2 gate: at 100k reads (load 1.4), F=8 resolved only 71% of
+    # true pairs in stage 1 vs 99%+ at F=24 (measured; accepts are
+    # F-invariant by construction).  F_eff = F * max(1, ceil(2*load)),
+    # capped at 64.
+    first_window_auto: bool = True
     # Fixed flat-gate chunk sizes (candidates per device call).  Chunks
     # pad up to one of these exactly: each distinct shape is one XLA
     # compile, and compilation behind a tunneled TPU costs tens of

@@ -1383,6 +1383,13 @@ class TpuEngine:
                 # rejected gate their remainder afterwards, and one final
                 # NW wave resolves everything stage 2 surfaced.
                 F = cfg.first_window
+                if cfg.first_window_auto and idx.n_entries:
+                    # see Config.first_window_auto: dense dictionaries
+                    # need a wider stage-1 window to surface the true
+                    # partner's seed among ~load junk hits per bucket
+                    load = idx.n_entries / float(4 ** FIXED_K)
+                    F = min(64, F * max(1, int(np.ceil(2.0 * load))))
+                self._first_window_eff = F
                 all_reads = np.flatnonzero(N_r > 0)
                 # Stage-1 candidates are ~half true-pair seeds whose walks
                 # span the whole read and escape the small tier anyway; on
