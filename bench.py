@@ -178,7 +178,11 @@ def nw_kernel_gcups(eng, n_reads: int) -> float:
 
     d_qp, d_dp, d_qlen, d_dlen = eng._last_dev
     rng = np.random.default_rng(9)
-    B = 8192
+    # B sized so one kernel invocation's wall (~50 ms) dominates the
+    # per-dispatch tunnel RPC spacing (up to ~25 ms in slow windows --
+    # with small B the device drains between dispatches and the
+    # measurement undercounts by ~15%)
+    B = 16384
     r = jnp.asarray(rng.integers(0, n_reads, B).astype(np.int32))
     s = jnp.asarray(rng.integers(0, n_reads, B).astype(np.int32))
     X = unpack_rows(d_dp, s, 256)
@@ -195,7 +199,7 @@ def nw_kernel_gcups(eng, n_reads: int) -> float:
         X, Y, xl, yl, eng.cfg.igap, eng.cfg.egap, max_len=256
     )
     np.asarray(run().best_score)  # warm + materialize inputs
-    reps = 8
+    reps = 6
     t0 = time.perf_counter()
     for _ in range(reps):
         out = run()
