@@ -78,6 +78,11 @@ def _load():
         ctypes.c_int32, i32, i32, i32,
     ]
 
+    lib.imsame_seg_encode.restype = ctypes.c_int64
+    lib.imsame_seg_encode.argtypes = [
+        i32, i32, i32, ctypes.c_int64, ctypes.c_int64, i32, i32, i32,
+    ]
+
     lib.imsame_render_blocks.restype = ctypes.c_int32
     lib.imsame_render_blocks.argtypes = [
         i32, ctypes.c_int64, i32, i32, i32, i8, i64, i8, i64,
@@ -220,3 +225,24 @@ def build_flat_arrays(
     )
     assert n == out_size, (n, out_size)
     return rids, hits, qoffs
+
+
+def seg_encode(rids, qoffs, hits, size: int, seg_cap: int):
+    """Native single-pass segment encoding (host.c imsame_seg_encode);
+    returns (cand[size], rtab[seg_cap], rbase[seg_cap]) int32 arrays or
+    None when unavailable / segment overflow (callers fall back)."""
+    if lib is None:
+        return None
+    n = len(rids)
+    cand = np.zeros(size, np.int32)
+    rtab = np.zeros(seg_cap, np.int32)
+    rbase = np.zeros(seg_cap, np.int32)
+    nseg = lib.imsame_seg_encode(
+        np.ascontiguousarray(rids, np.int32),
+        np.ascontiguousarray(qoffs, np.int32),
+        np.ascontiguousarray(hits, np.int32),
+        n, seg_cap, cand, rtab, rbase,
+    )
+    if nseg < 0:
+        return None
+    return cand, rtab, rbase, int(nseg)

@@ -31,6 +31,12 @@ from .nw_pallas import (
     nw_stats_batch_pallas_pipe4,
 )
 
+from .traceback import (
+    TracebackResult,
+    traceback_batch,
+    traceback_batch_stream,
+)
+
 # v4 multi-block interleave variant per length bucket (measured on TPU
 # v5e, bit-equal; nw_pallas._make_nw_stats_pipe4_kernel).  Wider/more
 # blocks win where VMEM allows: at L=256 the 2x64 layout lifts the
@@ -39,11 +45,6 @@ from .nw_pallas import (
 # the 16 MB scoped-VMEM limit (2x64 fails to compile at 1024, 2x32 at
 # 2048) -- buckets past 1024 stay on the v3 kernel.
 PIPE4_VARIANTS = {256: (2, 64), 512: (2, 64), 1024: (2, 32)}
-from .traceback import (
-    TracebackResult,
-    traceback_batch,
-    traceback_batch_stream,
-)
 
 
 def unpack_rows(packed: jax.Array, idx: jax.Array, L: int) -> jax.Array:

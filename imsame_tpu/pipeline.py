@@ -683,33 +683,45 @@ class TpuEngine:
                     # Segment-encoded chunk: 4 B/candidate + ~8 B/segment
                     # instead of 8 B/candidate -- candidate H2D is the
                     # dominant large-compare cost behind the tunnel
-                    # (ops/candidates.py flat_gate_seg).
+                    # (ops/candidates.py flat_gate_seg).  Native one-pass
+                    # encoder; numpy fallback is bit-identical.
                     rq_sl = b[sl]
-                    cand1, rtab, rbase = encode_seg_chunk(
-                        (rq_sl >> np.uint32(12)).astype(np.int32),
-                        (rq_sl & np.uint32(0xFFF)).astype(np.int32),
-                        hits[sl], size,
-                    )
+                    rids_c = (rq_sl >> np.uint32(12)).astype(np.int32)
+                    qoffs_c = (rq_sl & np.uint32(0xFFF)).astype(np.int32)
+                    enc = None
                     for cap in (size // 128, size // 8):
-                        if len(rtab) <= cap:
-                            rt = np.zeros(cap, np.int32)
-                            rb = np.zeros(cap, np.int32)
-                            rt[: len(rtab)] = rtab
-                            rb[: len(rtab)] = rbase
-                            bits = flat_gate_seg(
-                                d_qp,
-                                self._dp_cache[self._row_len],
-                                d_qlen,
-                                self._d_dlen,
-                                self._d_idx_tab,
-                                jnp.asarray(cand1),
-                                jnp.asarray(rt),
-                                jnp.asarray(rb),
-                                c,
-                                window=window,
-                                packed_idx=True,
-                            )
+                        nat = native.seg_encode(
+                            rids_c, qoffs_c, hits[sl], size, cap
+                        )
+                        if nat is not None:
+                            enc = (nat[0], nat[1], nat[2])
                             break
+                    if enc is None and native.lib is None:
+                        cand1, rtab, rbase = encode_seg_chunk(
+                            rids_c, qoffs_c, hits[sl], size
+                        )
+                        for cap in (size // 128, size // 8):
+                            if len(rtab) <= cap:
+                                rt = np.zeros(cap, np.int32)
+                                rb = np.zeros(cap, np.int32)
+                                rt[: len(rtab)] = rtab
+                                rb[: len(rtab)] = rbase
+                                enc = (cand1, rt, rb)
+                                break
+                    if enc is not None:
+                        bits = flat_gate_seg(
+                            d_qp,
+                            self._dp_cache[self._row_len],
+                            d_qlen,
+                            self._d_dlen,
+                            self._d_idx_tab,
+                            jnp.asarray(enc[0]),
+                            jnp.asarray(enc[1]),
+                            jnp.asarray(enc[2]),
+                            c,
+                            window=window,
+                            packed_idx=True,
+                        )
                 if bits is None:
                     cand = np.zeros((2, size), np.int32)
                     cand[0, :take] = hits[sl]
