@@ -217,3 +217,34 @@ def test_native_kmer_stream_threaded_large():
     np.testing.assert_array_equal(lo, lo_ref)
     np.testing.assert_array_equal(cnt, cnt_ref)
     np.testing.assert_array_equal(Ccum, Ccum_ref)
+
+
+def test_native_seg_encode_matches_numpy():
+    """host.c imsame_seg_encode == ops/candidates.encode_seg_chunk on a
+    stream with read changes, qoff-delta overflows and resets."""
+    from imsame_tpu import native
+    from imsame_tpu.ops.candidates import encode_seg_chunk
+
+    if native.lib is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    N = 5000
+    rids = np.sort(rng.integers(0, 300, N)).astype(np.int32)
+    qoffs = np.empty(N, np.int32)
+    for r in np.unique(rids):
+        m = rids == r
+        qoffs[m] = np.sort(rng.integers(12, 4000, int(m.sum()))).astype(
+            np.int32
+        )
+    hits = rng.integers(0, 1 << 24, N).astype(np.int32)
+    size = 8192
+    c_np, rt_np, rb_np = encode_seg_chunk(rids, qoffs, hits, size)
+    out = native.seg_encode(rids, qoffs, hits, size, size // 2)
+    assert out is not None
+    cand, rt, rb, nseg = out
+    assert nseg == len(rt_np)
+    np.testing.assert_array_equal(cand, c_np)
+    np.testing.assert_array_equal(rt[:nseg], rt_np)
+    np.testing.assert_array_equal(rb[:nseg], rb_np)
+    # overflow: cap below the segment count falls back
+    assert native.seg_encode(rids, qoffs, hits, size, 2) is None

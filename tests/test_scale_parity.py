@@ -95,3 +95,27 @@ def test_scale_threads4_record_set_parity(tmp_path, ref_bin):
     ref_h, ref_blocks = tear_tolerant_parts(ref_out.read_bytes())
     assert ours_h == ref_h
     assert ours_blocks == ref_blocks
+
+
+def test_accepts_invariant_under_first_window(tmp_path):
+    """The two-stage gate is accept-invariant in the stage-1 window size
+    (first-accept-wins replay sees the same verdicts regardless of which
+    stage surfaced them) -- the contract that lets first_window_auto
+    retune F by dictionary load without changing results."""
+    rng = random.Random(31)
+    qp, dp = make_pair(tmp_path, rng, n_query=60, n_db=60, read_len=150,
+                       sub_rate=0.05, indel_rate=0.02)
+    q = read_fasta(str(qp))
+    db = read_fasta(str(dp))
+    base = None
+    for cfg in (
+        Config(first_window=1, first_window_auto=False, mesh_shape=None),
+        Config(first_window=8, first_window_auto=False, mesh_shape=None),
+        Config(first_window=64, first_window_auto=False, mesh_shape=None),
+        Config(mesh_shape=None),  # auto
+    ):
+        res = TpuEngine(db, cfg).compare(q)
+        got = (res.accepted, res.pairs)
+        if base is None:
+            base = got
+        assert got == base
