@@ -1311,7 +1311,10 @@ class TpuEngine:
                     )
                 self._n_cands += len(rids)
                 w_small = self.cfg.gate_window_small
-                use_small = 0 < w_small < window
+                # The small tier's escalation costs one extra round trip
+                # (~27 ms); below ~2M candidates the W-compute saving
+                # (13.0 vs 7.4 Mcand/s) cannot repay it.
+                use_small = 0 < w_small < window and len(rids) > 2_000_000
                 w1 = w_small if use_small else window
                 with self.timer.phase("resolve.extend"):
                     if packed:
