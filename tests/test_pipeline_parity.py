@@ -69,3 +69,29 @@ def test_pipeline_parity_thresholds(tmp_path):
 def test_pipeline_parity_varied_lengths(tmp_path):
     _compare(tmp_path, 25, n_query=30, n_db=30, read_len=120, sub_rate=0.06,
              indel_rate=0.12)
+
+
+def test_pipeline_parity_render_overlap(tmp_path):
+    """render_overlap=True dispatches wave-1 winners' render-NW inside
+    compare; render_report must still produce byte-identical output
+    (including a second render_report call on the same result)."""
+    ref = reference_binaries()
+    if ref is None:
+        pytest.skip("reference binaries unavailable")
+    imsame, _ = ref
+    rng = random.Random(26)
+    qp, dp = make_pair(tmp_path, rng, n_query=30, n_db=30, read_len=150,
+                       sub_rate=0.06, indel_rate=0.03)
+    ref_out = tmp_path / "ref.align"
+    run_reference(imsame, qp, dp, ref_out, n_threads=1)
+    q = read_fasta(str(qp))
+    eng = TpuEngine(
+        read_fasta(str(dp)),
+        Config(render_overlap=True, mesh_shape=None),
+    )
+    res = eng.compare(q)
+    assert res.early_render is not None and res.early_render[1]
+    report = eng.render_report(q, res)
+    assert report == ref_out.read_bytes()
+    # early pending consumed; re-render must still be identical
+    assert eng.render_report(q, res) == report
