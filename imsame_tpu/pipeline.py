@@ -1284,7 +1284,8 @@ class TpuEngine:
                     sids = idx.sid[ph]
                 return pr, sids
 
-            def gate_begin(read_ids, from_rank, to_rank):
+            def gate_begin(read_ids, from_rank, to_rank, prebuilt=None,
+                           allow_small=True):
                 """Dispatch a gate for a rank window WITHOUT fetching;
                 returns a closure that fetches and maps the passes later,
                 so the gate's device time and round trip hide behind the
@@ -1305,16 +1306,23 @@ class TpuEngine:
                 )
                 if use_enum or routed or window > 256:
                     return None
-                with self.timer.phase("gate.build"):
-                    rids, hits, qoffs = build_flat(
-                        read_ids, from_rank, to_rank
-                    )
+                if prebuilt is not None:
+                    rids, hits, qoffs = prebuilt
+                else:
+                    with self.timer.phase("gate.build"):
+                        rids, hits, qoffs = build_flat(
+                            read_ids, from_rank, to_rank
+                        )
                 self._n_cands += len(rids)
                 w_small = self.cfg.gate_window_small
                 # The small tier's escalation costs one extra round trip
                 # (~27 ms); below ~2M candidates the W-compute saving
                 # (13.0 vs 7.4 Mcand/s) cannot repay it.
-                use_small = 0 < w_small < window and len(rids) > 2_000_000
+                use_small = (
+                    allow_small
+                    and 0 < w_small < window
+                    and len(rids) > 2_000_000
+                )
                 w1 = w_small if use_small else window
                 with self.timer.phase("resolve.extend"):
                     if packed:
@@ -1411,12 +1419,39 @@ class TpuEngine:
                 # short-read windows the direct full-window gate costs the
                 # same device time and one fewer tunnel round trip.
                 c0 = self._n_cands
-                pr1, ps1 = run_gate(
+                # Stage 1 async + speculative tail build: while stage 1's
+                # chunks compute on device, the host builds the [F, N_r)
+                # candidate tails of ALL reads (native, GIL-light) --
+                # stage 2 gates the no-pass subset and stage 3 the
+                # rejected-leftover subset, both row-compressions of this
+                # one array, so their gate.build cost leaves the critical
+                # path.  Stage 1 keeps the full extension window
+                # (allow_small=False): half its candidates are true-pair
+                # seeds whose walks escape the small tier anyway.
+                fin1 = gate_begin(
                     all_reads,
                     np.zeros(len(all_reads), np.int64),
                     np.minimum(N_r[all_reads], F),
-                    small_first=window > 256,
+                    allow_small=False,
                 )
+                tail_pre = None
+                if fin1 is not None:
+                    with self.timer.phase("gate.build"):
+                        tail_reads = np.flatnonzero(N_r > F)
+                        if len(tail_reads):
+                            tail_pre = build_flat(
+                                tail_reads,
+                                np.full(len(tail_reads), F, np.int64),
+                                N_r[tail_reads],
+                            )
+                    pr1, ps1 = fin1()
+                else:
+                    pr1, ps1 = run_gate(
+                        all_reads,
+                        np.zeros(len(all_reads), np.int64),
+                        np.minimum(N_r[all_reads], F),
+                        small_first=window > 256,
+                    )
                 cr1, cs1, ck1, key1 = self._dedup_pairs(
                     pr1, ps1, rejected_keys
                 )
@@ -1437,8 +1472,15 @@ class TpuEngine:
                     # Stage 2 dispatched behind wave 1 on the device queue
                     # and fetched only after judging -- its compute AND its
                     # fetch round trip overlap the NW wave + host judging.
+                    sub2 = None
+                    if tail_pre is not None:
+                        t_r, t_h, t_q = tail_pre
+                        with self.timer.phase("gate.build"):
+                            keep = ~has_pass[t_r]
+                            sub2 = (t_r[keep], t_h[keep], t_q[keep])
                     fin2 = gate_begin(
-                        spec, np.full(len(spec), F, np.int64), N_r[spec]
+                        spec, np.full(len(spec), F, np.int64), N_r[spec],
+                        prebuilt=sub2,
                     )
                     if fin2 is None:
                         pr2, ps2 = run_gate(
@@ -1458,9 +1500,15 @@ class TpuEngine:
                     # dispatch the leftover gate BEFORE fetching stage 2:
                     # it queues behind stage 2 and computes during stage
                     # 2's fetch round trip.
+                    sub3 = None
+                    if tail_pre is not None:
+                        t_r, t_h, t_q = tail_pre
+                        with self.timer.phase("gate.build"):
+                            k3 = has_pass[t_r] & ~resolved[t_r]
+                            sub3 = (t_r[k3], t_h[k3], t_q[k3])
                     fin3 = gate_begin(
                         leftover, np.full(len(leftover), F, np.int64),
-                        N_r[leftover],
+                        N_r[leftover], prebuilt=sub3,
                     )
                 if fin2 is not None:
                     pr2, ps2 = fin2()
