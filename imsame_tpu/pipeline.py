@@ -77,7 +77,7 @@ from .utils.timing import PhaseTimer
 from jax.sharding import NamedSharding, PartitionSpec as _P
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class AcceptedRead:
     qread: int
     dbread: int
