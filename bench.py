@@ -364,8 +364,8 @@ def large_bench(**cfg_kwargs) -> dict:
     t0 = time.perf_counter()
     eng = TpuEngine(db, Config(**cfg_kwargs))
     t_index = time.perf_counter() - t0
-    # best-of-3 align (tunnel latency swings ~2x between minutes; the
-    # 20k headline uses best-of-5 for the same reason)
+    # best-of-N align, default 4 (tunnel latency swings ~2x between
+    # minutes; the 20k headline uses best-of-5 for the same reason)
     aligns = []
     best_timings = {}
     for _ in range(int(os.environ.get("IMSAME_BENCH_LARGE_RUNS", "4"))):
@@ -398,6 +398,8 @@ def large_bench(**cfg_kwargs) -> dict:
         "reference_e2e_seconds": REFERENCE_100K_WALL_S,
         "vs_reference_e2e": round(REFERENCE_100K_WALL_S / t_e2e, 2),
         "timings": {k: round(v, 3) for k, v in best_timings.items()},
+        # per-stage (candidates, gate passes, unique NW pairs)
+        "stage_stats": {k: list(v) for k, v in eng.stage_stats.items()},
     }
 
 

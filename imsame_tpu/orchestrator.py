@@ -127,11 +127,15 @@ class AllVsAllRunner:
         cache_dir.mkdir(exist_ok=True)
         if not self._tmp_swept:
             # a process killed mid-save leaves orphan {stem}.tmpXXXX.npz
-            # files (never loaded; swept here on the next resumed sweep)
+            # files (never loaded; swept here on the next resumed sweep).
+            # Only files older than an hour: another host sharing this
+            # outdir may have an in-flight save on a younger tmp.
             self._tmp_swept = True
+            cutoff = time.time() - 3600
             for orphan in cache_dir.glob("*.tmp*.npz"):
                 try:
-                    orphan.unlink()
+                    if orphan.stat().st_mtime < cutoff:
+                        orphan.unlink()
                 except OSError:
                     pass
         path = cache_dir / f"{key[0]}{'.r' if key[1] else ''}.npz"

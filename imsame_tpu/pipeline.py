@@ -572,15 +572,6 @@ class TpuEngine:
         self.timer.accumulate("nw.scatter", time.perf_counter() - t1)
         return out
 
-    def _run_nw_pairs(
-        self, r_ids, sids, qlens, d_qp, d_dp, d_qlen, d_dlen
-    ) -> List[Tuple[int, int, int]]:
-        """Dispatch + fetch in one call (single-wave convenience)."""
-        P, pending = self._nw_dispatch_pairs(
-            r_ids, sids, qlens, d_qp, d_dp, d_qlen, d_dlen
-        )
-        return self._nw_fetch_pairs(P, pending)
-
     # ------------------------------------------------------------------
     def _gate(
         self, rids32, hits, qoffs, thr, d_thr, d_qp, d_qlen, window,
@@ -689,13 +680,20 @@ class TpuEngine:
                     rids_c = (rq_sl >> np.uint32(12)).astype(np.int32)
                     qoffs_c = (rq_sl & np.uint32(0xFFF)).astype(np.int32)
                     enc = None
-                    for cap in (size // 128, size // 8):
+                    if native.lib is not None:
+                        # one O(n) pass at the larger capacity; if the
+                        # segment count also fits the small fixed shape,
+                        # slice down (each (size, cap) pair is its own
+                        # compiled gate shape)
                         nat = native.seg_encode(
-                            rids_c, qoffs_c, hits[sl], size, cap
+                            rids_c, qoffs_c, hits[sl], size, size // 8
                         )
                         if nat is not None:
-                            enc = (nat[0], nat[1], nat[2])
-                            break
+                            cand1, rt, rb, nseg = nat
+                            small = size // 128
+                            if nseg <= small:
+                                rt, rb = rt[:small], rb[:small]
+                            enc = (cand1, rt, rb)
                     if enc is None and native.lib is None:
                         cand1, rtab, rbase = encode_seg_chunk(
                             rids_c, qoffs_c, hits[sl], size
@@ -1169,7 +1167,7 @@ class TpuEngine:
         rejected_keys = _KeySet()
         accepted_records: List[AcceptedRead] = []
         early = None  # render overlap (set in the resolve block)
-        # Per-stage counters (diagnostics; bench surfaces them): candidate
+        # Per-stage counters (bench's large block surfaces them): candidate
         # counts, gate-pass counts and NW pair counts per stage.
         ss = self.stage_stats = {}
 
@@ -1409,9 +1407,14 @@ class TpuEngine:
                 if cfg.first_window_auto and idx.n_entries:
                     # see Config.first_window_auto: dense dictionaries
                     # need a wider stage-1 window to surface the true
-                    # partner's seed among ~load junk hits per bucket
+                    # partner's seed among ~load junk hits per bucket.
+                    # The cap bounds only the auto-widening -- an
+                    # explicitly larger first_window is honored.
                     load = idx.n_entries / float(4 ** FIXED_K)
-                    F = min(64, F * max(1, int(np.ceil(2.0 * load))))
+                    F = max(
+                        F,
+                        min(64, F * max(1, int(np.ceil(2.0 * load)))),
+                    )
                 self._first_window_eff = F
                 all_reads = np.flatnonzero(N_r > 0)
                 # Stage-1 candidates are ~half true-pair seeds whose walks
