@@ -479,9 +479,12 @@ def main() -> int:
             print(f"# retrying timed run after {type(e).__name__}: {e}",
                   file=sys.stderr)
             continue
-        runs.append((time.perf_counter() - t1, res, dict(eng.timer.items())))
+        runs.append((
+            time.perf_counter() - t1, res, dict(eng.timer.items()),
+            dict(eng.stage_stats),
+        ))
     runs.sort(key=lambda x: x[0])
-    t_align, res, timings = runs[0]
+    t_align, res, timings, stage_stats = runs[0]
 
     # Render wall at bench scale (the C baseline's 2.7k reads/s includes
     # writing -out records during alignment, src/alignmentFunctions.c:167;
@@ -589,7 +592,8 @@ def main() -> int:
                 n_reads / (t_align + t_render), 1
             ),
             **roofline(res, timings, kernel_gcups=kgc),
-            "align_seconds_runs": [round(t, 3) for t, _, _ in runs],
+            "align_seconds_runs": [round(t, 3) for t, _, _, _ in runs],
+            "stage_stats": {k: list(v) for k, v in stage_stats.items()},
             **({"parity": parity} if parity is not None else {}),
             **({"sweep": sweep} if sweep is not None else {}),
             **({"large": large} if large is not None else {}),
