@@ -1776,6 +1776,7 @@ def _make_nw_stats_pipe4_kernel(max_len: int, n_blk: int = 2,
             bmask = lane_is0 | eq_e
             jge2 = j_idx >= 2
             lanej = lane4096 + j_idx
+            lj = lane + j_idx  # = d_loc, shared by both halves
             t = {h: {} for h in HS}
 
             def p_feed(s, t, f):
@@ -1882,7 +1883,7 @@ def _make_nw_stats_pipe4_kernel(max_len: int, n_blk: int = 2,
                 elig = t["inner"] & (
                     (lane == s["xlen"] - 1) | (j_idx == s["ylen"] - 1)
                 )
-                packed = (t["s0"] << jnp.int32(13)) | (lane + j_idx)
+                packed = (t["s0"] << jnp.int32(13)) | lj
                 npm = jnp.where(elig, packed, SENT)
                 upd = npm > s["acc"]
                 s["acc"] = jnp.where(upd, npm, s["acc"])
